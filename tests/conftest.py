@@ -1,0 +1,15 @@
+"""Test env: run on CPU with an 8-device virtual mesh (TPU-free CI).
+
+Mirrors the survey's test plan (SURVEY.md §4): multi-chip sharding is
+validated on a host-platform virtual mesh via
+--xla_force_host_platform_device_count, the TPU-native analog of testing
+multi-node code without a cluster.
+"""
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ.setdefault("JAX_ENABLE_X64", "0")
