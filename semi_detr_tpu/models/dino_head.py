@@ -1,0 +1,234 @@
+"""DINO detection head — input projections, shared cls/box heads, CDN split.
+
+Capability parity with the reference `DINODETRHead`/`DINODETRSSODHead`
+forward path (`detr_od/models/dense_heads/dino_detr_head.py:215-407`,
+`dino_detr_ssod_head.py:343-505`):
+
+* input_proj: 1x1 conv + GroupNorm(32) for the 3 backbone levels, plus a
+  3x3 stride-2 conv + GN on C5 for the 4th level (`dino_detr_head.py:219-236`)
+* shared class Linear (prior-prob 0.01 bias init) and 3-layer box MLP
+  (zero-init last layer) across decoder layers
+  (`dino_detr_head.py:237-260`: dec_pred_*_embed_share=True); separate
+  copies for the encoder two-stage heads (two_stage_*_embed_share=False)
+* label_enc Embedding(dn_labelbook_size+1, C) for CDN content queries
+* per-layer outputs: coord = sigmoid(fc_reg(hs_l) + inv_sigmoid(ref_l)),
+  class = fc_cls(hs_l)  (`dino_detr_head.py:374-384`)
+* output split into [dn | matching] query blocks by the static CDN
+  layout (`dn_post_process`, dn_components.py:462-497)
+
+Static-shape design: images come in bucketed (H, W) with per-image valid
+extents; per-level masks are computed with the same nearest-neighbor
+index math torch's F.interpolate applies to the image mask
+(`dino_detr_head.py:316-325`).
+"""
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from typing import Any, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .dn import CdnBatch, build_cdn_queries, cdn_attn_mask
+from .resnet import ResNet
+from .transformer import DINOTransformer, Mlp, inverse_sigmoid, xavier_uniform
+
+
+@dataclass(frozen=True)
+class DinoConfig:
+    num_classes: int = 80
+    num_queries: int = 900
+    d_model: int = 256
+    n_heads: int = 8
+    n_levels: int = 4
+    num_encoder_layers: int = 6
+    num_decoder_layers: int = 6
+    d_ffn: int = 2048
+    enc_n_points: int = 4
+    dec_n_points: int = 4
+    backbone_depth: int = 50
+    backbone_channels: Tuple[int, ...] = (512, 1024, 2048)
+    dn_labelbook_size: int = 81
+    # static CDN layout (see models/dn.py): ~2*dn_number total dn queries
+    dn_single_pad: int = 32
+    dn_groups: int = 3
+    dn_label_noise_ratio: float = 0.5
+    dn_box_noise_scale: float = 0.4
+    max_gt: int = 100            # GT padding capacity per image
+    dtype: Any = jnp.float32     # compute dtype for backbone/transformer
+
+    @property
+    def dn_pad_size(self) -> int:
+        return 2 * self.dn_single_pad * self.dn_groups
+
+
+def level_valid_masks(spatial_shapes, input_hw, img_hw):
+    """Per-level validity masks via torch F.interpolate(nearest) index math:
+    level pixel (i, j) is valid iff floor(i * H_in / H_l) < img_h etc.
+
+    input_hw: static (H, W) of the padded batch; img_hw: (B, 2) int per-image
+    valid extents. Returns list of (B, H_l, W_l) bool (True = valid)."""
+    H, W = input_hw
+    masks = []
+    for (h, w) in spatial_shapes:
+        src_i = (np.arange(h) * H // h)[None, :]        # (1, h)
+        src_j = (np.arange(w) * W // w)[None, :]        # (1, w)
+        vi = jnp.asarray(src_i) < img_hw[:, :1]          # (B, h)
+        vj = jnp.asarray(src_j) < img_hw[:, 1:2]         # (B, w)
+        masks.append(vi[:, :, None] & vj[:, None, :])
+    return masks
+
+
+def backbone_spatial_shapes(input_hw, n_levels: int = 4):
+    """Static conv arithmetic: strides 8/16/32 from ResNet C3-C5, extra
+    stride-64 level from a stride-2 conv on C5 (all ceil division)."""
+    H, W = input_hw
+    shapes = []
+    for s in (8, 16, 32):
+        shapes.append((-(-H // s), -(-W // s)))
+    h5, w5 = shapes[-1]
+    for _ in range(n_levels - 3):
+        h5, w5 = -(-h5 // 2), -(-w5 // 2)
+        shapes.append((h5, w5))
+    return tuple(shapes[:n_levels])
+
+
+class ClsHead(nn.Module):
+    num_classes: int
+
+    @nn.compact
+    def __call__(self, x):
+        prior = 0.01
+        bias = -math.log((1 - prior) / prior)
+        return nn.Dense(self.num_classes, kernel_init=xavier_uniform,
+                        bias_init=nn.initializers.constant(bias),
+                        name="cls")(x)
+
+
+class DINODetector(nn.Module):
+    """Backbone + projections + transformer + heads. Returns raw per-layer
+    outputs plus the dn/matching split."""
+    cfg: DinoConfig
+
+    def setup(self):
+        c = self.cfg
+        self.backbone = ResNet(depth=c.backbone_depth, dtype=c.dtype)
+        n_backbone = len(c.backbone_channels)
+        projs, norms = [], []
+        for i in range(c.n_levels):
+            if i < n_backbone:
+                projs.append(nn.Conv(c.d_model, (1, 1),
+                                     kernel_init=xavier_uniform,
+                                     dtype=c.dtype, name=f"input_proj_{i}"))
+            else:
+                projs.append(nn.Conv(c.d_model, (3, 3), strides=(2, 2),
+                                     padding=[(1, 1), (1, 1)],
+                                     kernel_init=xavier_uniform,
+                                     dtype=c.dtype, name=f"input_proj_{i}"))
+            norms.append(nn.GroupNorm(32, epsilon=1e-5,
+                                      name=f"input_proj_gn_{i}"))
+        self.input_projs = projs
+        self.input_norms = norms
+
+        self.transformer = DINOTransformer(
+            d_model=c.d_model, n_heads=c.n_heads, num_queries=c.num_queries,
+            num_encoder_layers=c.num_encoder_layers,
+            num_decoder_layers=c.num_decoder_layers, d_ffn=c.d_ffn,
+            n_levels=c.n_levels, enc_n_points=c.enc_n_points,
+            dec_n_points=c.dec_n_points)
+
+        self.fc_cls = ClsHead(c.num_classes)            # shared across layers
+        self.fc_reg = Mlp(c.d_model, 4, 3, last_zero_init=True)
+        self.fc_enc_cls = ClsHead(c.num_classes)
+        self.fc_enc_reg = Mlp(c.d_model, 4, 3, last_zero_init=True)
+
+        self.label_enc = self.param(
+            "label_enc", nn.initializers.normal(1.0),
+            (c.dn_labelbook_size + 1, c.d_model))
+
+    def features(self, images):
+        """images: (B, H, W, 3) normalized. Returns (srcs, spatial_shapes)."""
+        c = self.cfg
+        feats = self.backbone(images.astype(c.dtype))
+        srcs = []
+        for i in range(c.n_levels):
+            if i < len(feats):
+                x = feats[i]
+            elif i == len(feats):
+                x = feats[-1]        # extra level from raw C5
+            else:
+                x = srcs[-1]
+            srcs.append(self.input_norms[i](self.input_projs[i](x)))
+        shapes = tuple((int(s.shape[1]), int(s.shape[2])) for s in srcs)
+        return srcs, shapes
+
+    def __call__(self, images, img_hw, gt=None, dn_rng=None,
+                 extra_queries=None):
+        """Full forward.
+
+        Args:
+          images: (B, H, W, 3); img_hw: (B, 2) valid (h, w) per image.
+          gt: optional dict(boxes (B,G,4) cxcywh-normalized, labels (B,G),
+            valid (B,G)) — enables CDN.
+          dn_rng: PRNG key for CDN noise (required with gt).
+          extra_queries: optional dict(content (B,Q1,C), bbox_unsig (B,Q1,4),
+            attn_mask (T,T) bool True=blocked, sizes (pad1,)) — prepended
+            consistency queries for SSOD (replaces gt-driven mask).
+
+        Returns dict with per-decoder-layer class/coord for the matching
+        block, the dn block, encoder interim outputs, and cdn metadata.
+        """
+        c = self.cfg
+        srcs, shapes = self.features(images)
+        vmasks = level_valid_masks(
+            shapes, (images.shape[1], images.shape[2]), img_hw)
+
+        cdn: Optional[CdnBatch] = None
+        dn_tgt = dn_ref = attn_mask = None
+        n_front = 0
+        if extra_queries is not None:
+            dn_tgt = extra_queries["content"]
+            dn_ref = extra_queries["bbox_unsig"]
+            attn_mask = extra_queries["attn_mask"]
+            n_front = dn_tgt.shape[1]
+            cdn = extra_queries.get("cdn")
+        elif gt is not None:
+            cdn = build_cdn_queries(
+                dn_rng, gt["boxes"], gt["labels"], gt["valid"],
+                self.label_enc, c.num_classes, c.dn_single_pad, c.dn_groups,
+                c.dn_label_noise_ratio, c.dn_box_noise_scale)
+            dn_tgt, dn_ref = cdn.query_label, cdn.query_bbox
+            attn_mask = cdn_attn_mask(c.dn_single_pad, c.dn_groups,
+                                      c.num_queries)
+            n_front = c.dn_pad_size
+
+        t = self.transformer(
+            srcs, vmasks, shapes, dn_refpoint_unsig=dn_ref, dn_tgt=dn_tgt,
+            attn_mask=attn_mask, fc_reg=self.fc_reg, fc_cls=self.fc_cls,
+            fc_enc_reg=self.fc_enc_reg, fc_enc_cls=self.fc_enc_cls)
+
+        hs, refs = t["hs"], t["refs"]
+        all_cls = self.fc_cls(hs)                        # (n_dec, B, nq_t, K)
+        all_coord = jax.nn.sigmoid(
+            self.fc_reg(hs) + inverse_sigmoid(refs[:-1]))
+
+        out = {
+            "cls": all_cls[:, :, n_front:],
+            "coord": all_coord[:, :, n_front:],
+            "enc_cls": t["enc_out_class"],
+            "enc_coord": t["enc_out_coord"],
+            "hs": hs,
+            "n_front": n_front,
+        }
+        if n_front:
+            out["front_cls"] = all_cls[:, :, :n_front]
+            out["front_coord"] = all_coord[:, :, :n_front]
+        if cdn is not None:
+            out["cdn"] = cdn
+        return out
+
+    def forward_features_only(self, images):
+        return self.features(images)

@@ -1,0 +1,405 @@
+"""DINO deformable transformer — TPU-native flax implementation.
+
+Capability-parity redesign of the reference `DINOTransformer`
+(`detr_od/models/utils/transformer.py:1046-1409`): 6-layer deformable
+encoder over flattened multi-scale tokens, standard two-stage query
+selection (top-900 encoder proposals), 6-layer decoder with
+[self-attn, deformable cross-attn, FFN] and detached iterative box
+refinement, learned target embeddings, CDN query support via a static
+attention mask.
+
+TPU-first deviations (behavior-preserving):
+* all level shapes are static; padding-validity enters through masks and
+  `valid_ratios`, exactly like the reference (the model already consumes
+  padding masks — reference `dino_detr_head.py:316-325`).
+* `gen_encoder_output_proposals`' +inf masking (reference
+  `transformer.py:525-578`) is replaced by masking the class logits to a
+  large negative value before top-k — identical selection, no infs in the
+  graph.
+* no dropout: the active config instantiates `DINOTransformer` with
+  default `dropout=0.0` (`transformer.py:1052`), so we omit dropout
+  entirely (deterministic trace).
+"""
+from __future__ import annotations
+
+import math
+from typing import Any, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.ms_deform_attn import (level_start_index, ms_deform_attn,
+                                  sampling_offsets_init_bias)
+
+xavier_uniform = nn.initializers.xavier_uniform()
+
+
+def inverse_sigmoid(x, eps: float = 1e-3):
+    """Matches mmdet inverse_sigmoid (clamped logit)."""
+    x = jnp.clip(x, 0, 1)
+    x1 = jnp.clip(x, eps, None)
+    x2 = jnp.clip(1 - x, eps, None)
+    return jnp.log(x1 / x2)
+
+
+def sine_embed(pos, num_feats: int = 128, temperature: float = 10000.0,
+               scale: float = 2 * math.pi):
+    """Sine embedding of normalized coords (reference
+    `gen_sineembed_for_position`, transformer.py:467-499).
+
+    pos: (..., K) in [0,1] -> (..., K*num_feats), per-coordinate layout
+    [sin(x/t^0), cos(x/t^0), sin(x/t^2), ...] with y embedded BEFORE x
+    (and then w, h) to match the reference concat order.
+    """
+    dim_t = jnp.arange(num_feats, dtype=jnp.float32)
+    dim_t = temperature ** (2 * (dim_t // 2) / num_feats)
+
+    def embed1(v):
+        p = v[..., None] * scale / dim_t
+        return jnp.stack([jnp.sin(p[..., 0::2]), jnp.cos(p[..., 1::2])],
+                         axis=-1).reshape(*v.shape, num_feats)
+
+    k = pos.shape[-1]
+    order = [1, 0] if k == 2 else [1, 0, 2, 3]  # y, x (, w, h)
+    return jnp.concatenate([embed1(pos[..., i]) for i in order], axis=-1)
+
+
+def sine_positional_encoding_hw(valid_mask, num_feats: int = 128,
+                                temp_h: float = 20.0, temp_w: float = 20.0,
+                                scale: float = 2 * math.pi,
+                                offset: float = 0.0, eps: float = 1e-6):
+    """SinePositionalEncodingHW (reference
+    detr_od/models/utils/positional_encoding.py:9-99) with normalize=True.
+
+    valid_mask: (B, H, W) bool, True = valid pixel. Returns (B, H, W, 2F).
+    """
+    not_mask = valid_mask.astype(jnp.float32)
+    y_embed = jnp.cumsum(not_mask, axis=1)
+    x_embed = jnp.cumsum(not_mask, axis=2)
+    y_embed = (y_embed + offset) / (y_embed[:, -1:, :] + eps) * scale
+    x_embed = (x_embed + offset) / (x_embed[:, :, -1:] + eps) * scale
+
+    def embed1(v, temp):
+        dim_t = jnp.arange(num_feats, dtype=jnp.float32)
+        dim_t = temp ** (2 * (dim_t // 2) / num_feats)
+        p = v[..., None] / dim_t
+        return jnp.stack([jnp.sin(p[..., 0::2]), jnp.cos(p[..., 1::2])],
+                         axis=-1).reshape(*v.shape, num_feats)
+
+    return jnp.concatenate([embed1(y_embed, temp_h), embed1(x_embed, temp_w)],
+                           axis=-1)
+
+
+class Mlp(nn.Module):
+    """`MLP` of the reference (relu between layers, none after last)."""
+    hidden: int
+    out: int
+    num_layers: int = 3
+    last_zero_init: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        for i in range(self.num_layers - 1):
+            x = nn.Dense(self.hidden, kernel_init=xavier_uniform,
+                         name=f"fc{i}")(x)
+            x = nn.relu(x)
+        init = (nn.initializers.zeros if self.last_zero_init
+                else xavier_uniform)
+        bias_init = nn.initializers.zeros
+        return nn.Dense(self.out, kernel_init=init, bias_init=bias_init,
+                        name=f"fc{self.num_layers - 1}")(x)
+
+
+class MSDeformAttention(nn.Module):
+    """Query-conditioned multi-scale deformable attention (reference
+    `MSDeformAttn`, ops/modules/ms_deform_attn.py:30-127): value/output
+    projections + per-query sampling offsets and softmaxed attention
+    weights, directional grid bias init for the offsets."""
+    d_model: int = 256
+    n_heads: int = 8
+    n_levels: int = 4
+    n_points: int = 4
+
+    @nn.compact
+    def __call__(self, query, reference_points, value_src, spatial_shapes,
+                 key_padding_mask=None):
+        """query: (B, Lq, C); reference_points: (B, Lq, L, 2|4) in [0,1];
+        value_src: (B, S, C); key_padding_mask: (B, S) True=PAD."""
+        B, Lq, _ = query.shape
+        M, L, P = self.n_heads, self.n_levels, self.n_points
+        D = self.d_model // M
+
+        value = nn.Dense(self.d_model, kernel_init=xavier_uniform,
+                         name="value_proj")(value_src)
+        if key_padding_mask is not None:
+            value = jnp.where(key_padding_mask[..., None], 0.0, value)
+        value = value.reshape(B, -1, M, D)
+
+        off_bias = sampling_offsets_init_bias(M, L, P)
+        offsets = nn.Dense(M * L * P * 2,
+                           kernel_init=nn.initializers.zeros,
+                           bias_init=lambda *a: jnp.asarray(off_bias),
+                           name="sampling_offsets")(query)
+        offsets = offsets.reshape(B, Lq, M, L, P, 2)
+        attn = nn.Dense(M * L * P, kernel_init=nn.initializers.zeros,
+                        name="attention_weights")(query)
+        attn = jax.nn.softmax(attn.reshape(B, Lq, M, L * P), axis=-1)
+        attn = attn.reshape(B, Lq, M, L, P)
+
+        wh = jnp.asarray([[w, h] for h, w in spatial_shapes],
+                         jnp.float32)  # (L, 2) as (W, H)
+        if reference_points.shape[-1] == 2:
+            loc = (reference_points[:, :, None, :, None, :]
+                   + offsets / wh[None, None, None, :, None, :])
+        else:
+            loc = (reference_points[:, :, None, :, None, :2]
+                   + offsets / P
+                   * reference_points[:, :, None, :, None, 2:] * 0.5)
+
+        out = ms_deform_attn(value, tuple(spatial_shapes),
+                             loc.astype(jnp.float32),
+                             attn.astype(jnp.float32))
+        return nn.Dense(self.d_model, kernel_init=xavier_uniform,
+                        name="output_proj")(out)
+
+
+class EncoderLayer(nn.Module):
+    """Deformable self-attention + FFN (reference
+    `DINOTransformerEncoderLayer`, transformer.py:579-643)."""
+    d_model: int = 256
+    d_ffn: int = 2048
+    n_heads: int = 8
+    n_levels: int = 4
+    n_points: int = 4
+
+    @nn.compact
+    def __call__(self, src, pos, reference_points, spatial_shapes,
+                 key_padding_mask):
+        h = MSDeformAttention(self.d_model, self.n_heads, self.n_levels,
+                              self.n_points, name="self_attn")(
+            src + pos, reference_points, src, spatial_shapes,
+            key_padding_mask)
+        src = nn.LayerNorm(name="norm1")(src + h)
+        f = nn.Dense(self.d_ffn, kernel_init=xavier_uniform,
+                     name="linear1")(src)
+        f = nn.Dense(self.d_model, kernel_init=xavier_uniform,
+                     name="linear2")(nn.relu(f))
+        return nn.LayerNorm(name="norm2")(src + f)
+
+
+def encoder_reference_points(spatial_shapes, valid_ratios):
+    """Per-level normalized center grid scaled by valid ratios (reference
+    `DINOTransformerEncoder.get_reference_points`, transformer.py:676-692).
+
+    valid_ratios: (B, L, 2) as (w_ratio, h_ratio). Returns (B, S, L, 2)."""
+    refs = []
+    for lvl, (h, w) in enumerate(spatial_shapes):
+        ry = (np.arange(h, dtype=np.float32) + 0.5)
+        rx = (np.arange(w, dtype=np.float32) + 0.5)
+        gy, gx = np.meshgrid(ry, rx, indexing="ij")
+        gy = jnp.asarray(gy.reshape(-1))[None] / (
+            valid_ratios[:, None, lvl, 1] * h)
+        gx = jnp.asarray(gx.reshape(-1))[None] / (
+            valid_ratios[:, None, lvl, 0] * w)
+        refs.append(jnp.stack([gx, gy], -1))
+    ref = jnp.concatenate(refs, 1)  # (B, S, 2)
+    return ref[:, :, None] * valid_ratios[:, None]
+
+
+def make_proposals(spatial_shapes, valid_ratios):
+    """Anchor proposals per token (reference
+    `gen_encoder_output_proposals`, transformer.py:525-578): grid centers
+    normalized by the VALID extent, wh = 0.05 * 2**lvl.
+
+    Returns (proposals (B,S,4) in [0,1] unclipped, static level grid)."""
+    out = []
+    for lvl, (h, w) in enumerate(spatial_shapes):
+        gy, gx = np.meshgrid(np.arange(h, dtype=np.float32),
+                             np.arange(w, dtype=np.float32), indexing="ij")
+        grid = jnp.asarray(
+            np.stack([gx.reshape(-1), gy.reshape(-1)], -1))  # (HW, 2)
+        # scale = valid extent (valid_ratio * full extent)
+        scale = valid_ratios[:, None, lvl, :] * jnp.asarray(
+            [[float(w), float(h)]])
+        ctr = (grid[None] + 0.5) / scale
+        wh = jnp.full_like(ctr, 0.05 * (2.0 ** lvl))
+        out.append(jnp.concatenate([ctr, wh], -1))
+    return jnp.concatenate(out, 1)
+
+
+class DecoderLayer(nn.Module):
+    """[self-attn, deformable cross-attn, FFN] (reference
+    `DINOTransformerDecoderLayer`, transformer.py:747-875)."""
+    d_model: int = 256
+    d_ffn: int = 2048
+    n_heads: int = 8
+    n_levels: int = 4
+    n_points: int = 4
+
+    @nn.compact
+    def __call__(self, tgt, query_pos, reference_points_input, memory,
+                 spatial_shapes, memory_key_padding_mask, self_attn_mask):
+        # self attention (q = k = tgt + query_pos, v = tgt)
+        q = tgt + query_pos
+        attn_mask = None
+        if self_attn_mask is not None:
+            # flax mask: True = may attend; reference mask True = blocked
+            attn_mask = ~self_attn_mask[None, None]
+        h = nn.MultiHeadDotProductAttention(
+            num_heads=self.n_heads, qkv_features=self.d_model,
+            kernel_init=xavier_uniform, name="self_attn")(
+            inputs_q=q, inputs_k=q, inputs_v=tgt, mask=attn_mask)
+        tgt = nn.LayerNorm(name="norm2")(tgt + h)
+
+        # cross attention
+        h = MSDeformAttention(self.d_model, self.n_heads, self.n_levels,
+                              self.n_points, name="cross_attn")(
+            tgt + query_pos, reference_points_input, memory, spatial_shapes,
+            memory_key_padding_mask)
+        tgt = nn.LayerNorm(name="norm1")(tgt + h)
+
+        # ffn
+        f = nn.Dense(self.d_ffn, kernel_init=xavier_uniform,
+                     name="linear1")(tgt)
+        f = nn.Dense(self.d_model, kernel_init=xavier_uniform,
+                     name="linear2")(nn.relu(f))
+        return nn.LayerNorm(name="norm3")(tgt + f)
+
+
+class DINOTransformer(nn.Module):
+    """Encoder + two-stage selection + decoder w/ iterative refinement.
+
+    `fc_reg`/`fc_cls`/`fc_enc_reg`/`fc_enc_cls` are passed in bound from the
+    head so decoder-internal refinement shares the head's parameters, the
+    same wiring as the reference (head owns them, transformer consumes:
+    `dino_detr_head.py:355-362`)."""
+    d_model: int = 256
+    n_heads: int = 8
+    num_queries: int = 900
+    num_encoder_layers: int = 6
+    num_decoder_layers: int = 6
+    d_ffn: int = 2048
+    n_levels: int = 4
+    enc_n_points: int = 4
+    dec_n_points: int = 4
+
+    def setup(self):
+        self.level_embed = self.param(
+            "level_embed", nn.initializers.normal(1.0),
+            (self.n_levels, self.d_model))
+        self.tgt_embed = self.param(
+            "tgt_embed", nn.initializers.normal(1.0),
+            (self.num_queries, self.d_model))
+        self.enc_output = nn.Dense(self.d_model, kernel_init=xavier_uniform)
+        self.enc_output_norm = nn.LayerNorm()
+        self.encoder_layers = [
+            EncoderLayer(self.d_model, self.d_ffn, self.n_heads,
+                         self.n_levels, self.enc_n_points,
+                         name=f"enc_{i}")
+            for i in range(self.num_encoder_layers)]
+        self.decoder_layers = [
+            DecoderLayer(self.d_model, self.d_ffn, self.n_heads,
+                         self.n_levels, self.dec_n_points,
+                         name=f"dec_{i}")
+            for i in range(self.num_decoder_layers)]
+        self.decoder_norm = nn.LayerNorm()
+        self.ref_point_head = Mlp(self.d_model, self.d_model, 2)
+
+    def __call__(self, srcs, valid_masks, spatial_shapes,
+                 dn_refpoint_unsig=None, dn_tgt=None, attn_mask=None,
+                 fc_reg=None, fc_cls=None, fc_enc_reg=None, fc_enc_cls=None):
+        """Args:
+          srcs: list of (B, H_l, W_l, C) projected features.
+          valid_masks: list of (B, H_l, W_l) bool, True = valid.
+          spatial_shapes: static ((H, W), ...) per level.
+          dn_refpoint_unsig: (B, n_dn, 4) unsigmoided CDN boxes or None.
+          dn_tgt: (B, n_dn, C) CDN content queries or None.
+          attn_mask: (n_dn+nq, n_dn+nq) bool, True = blocked, or None.
+
+        Returns dict: hs (n_dec, B, nq_t, C), refs (n_dec+1, B, nq_t, 4)
+          sigmoided, memory (B, S, C), enc_out_class (B, topk, #cls),
+          enc_out_coord (B, topk, 4) sigmoided, init_box_proposal.
+        """
+        B = srcs[0].shape[0]
+        src_flat = jnp.concatenate(
+            [s.reshape(B, -1, self.d_model) for s in srcs], 1)
+        pad_mask = jnp.concatenate(
+            [~m.reshape(B, -1) for m in valid_masks], 1)  # True = PAD
+
+        pos = []
+        for lvl, m in enumerate(valid_masks):
+            p = sine_positional_encoding_hw(m, self.d_model // 2)
+            pos.append(p.reshape(B, -1, self.d_model)
+                       + self.level_embed[lvl][None, None])
+        pos_flat = jnp.concatenate(pos, 1)
+
+        # valid ratios (reference get_valid_ratio: first row/col of mask)
+        vr = jnp.stack(
+            [jnp.stack([m[:, 0, :].sum(1) / m.shape[2],
+                        m[:, :, 0].sum(1) / m.shape[1]], -1)
+             for m in valid_masks], 1).astype(jnp.float32)  # (B, L, 2) w,h
+
+        # ---------------- encoder
+        enc_ref = encoder_reference_points(spatial_shapes, vr)
+        memory = src_flat
+        for layer in self.encoder_layers:
+            memory = layer(memory, pos_flat, enc_ref, spatial_shapes,
+                           pad_mask)
+
+        # ---------------- two-stage selection
+        proposals = make_proposals(spatial_shapes, vr)  # (B, S, 4)
+        prop_valid = jnp.all((proposals > 0.01) & (proposals < 0.99), -1)
+        token_valid = prop_valid & ~pad_mask
+        out_memory = jnp.where(token_valid[..., None], memory, 0.0)
+        out_memory = self.enc_output_norm(self.enc_output(out_memory))
+
+        enc_cls = fc_enc_cls(out_memory)                      # (B, S, #cls)
+        enc_coord_unsig = fc_enc_reg(out_memory) + inverse_sigmoid(proposals)
+        # select top-k valid tokens by max class logit
+        score = jnp.where(token_valid, enc_cls.max(-1), -1e9)
+        topk_idx = jax.lax.top_k(score, self.num_queries)[1]  # (B, k)
+
+        def take(x):
+            return jnp.take_along_axis(x, topk_idx[..., None], axis=1)
+
+        ref_undetach = take(enc_coord_unsig)                   # unsigmoided
+        refpoint_unsig = jax.lax.stop_gradient(ref_undetach)
+        init_box_proposal = jax.nn.sigmoid(take(
+            inverse_sigmoid(proposals)))
+        tgt_undetach = take(out_memory)
+        tgt = jnp.broadcast_to(self.tgt_embed[None],
+                               (B, self.num_queries, self.d_model))
+
+        if dn_refpoint_unsig is not None:
+            refpoint_unsig = jnp.concatenate(
+                [dn_refpoint_unsig, refpoint_unsig], 1)
+            tgt = jnp.concatenate([dn_tgt, tgt], 1)
+
+        # ---------------- decoder
+        output = tgt
+        reference = jax.nn.sigmoid(refpoint_unsig)
+        refs = [reference]
+        hs = []
+        vr4 = jnp.concatenate([vr, vr], -1)                    # (B, L, 4)
+        for lid, layer in enumerate(self.decoder_layers):
+            ref_input = reference[:, :, None] * vr4[:, None]   # (B,nq,L,4)
+            qse = sine_embed(ref_input[:, :, 0, :], self.d_model // 2)
+            query_pos = self.ref_point_head(qse)
+            output = layer(output, query_pos, ref_input, memory,
+                           spatial_shapes, pad_mask, attn_mask)
+            new_ref = jax.nn.sigmoid(
+                fc_reg(output) + inverse_sigmoid(reference))
+            reference = jax.lax.stop_gradient(new_ref)
+            refs.append(new_ref)
+            hs.append(self.decoder_norm(output))
+
+        return {
+            "hs": jnp.stack(hs),                 # (n_dec, B, nq_t, C)
+            "refs": jnp.stack(refs),             # (n_dec+1, B, nq_t, 4)
+            "memory": memory,
+            "enc_out_class": fc_enc_cls(tgt_undetach),
+            "enc_out_coord": jax.nn.sigmoid(ref_undetach),
+            "init_box_proposal": init_box_proposal,
+        }

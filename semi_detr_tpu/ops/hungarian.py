@@ -1,0 +1,112 @@
+"""In-graph Hungarian (rectangular LSAP) solver — Jonker-Volgenant style.
+
+Replaces the reference's host-side scipy `linear_sum_assignment` calls
+(mmdet HungarianAssigner inside `_get_target_single`, and the per-image
+pseudo-label matching at `detr_ssod/models/dino_detr_ssod.py:279`) with a
+jittable, static-shape shortest-augmenting-path solver so Hungarian matching
+runs inside the compiled TPU train step instead of a host round-trip.
+
+Algorithm: for each row, run a Dijkstra-style search over columns using dual
+potentials (u, v) to find the shortest augmenting path, then augment. This is
+the same algorithm scipy implements (rectangular_lsap); results match scipy's
+optimal total cost exactly (assignments may differ on ties).
+
+Shapes are static: cost is (NR, NC) with NR <= NC. Padded (invalid) rows must
+carry a cost that is CONSTANT across columns (any value): constant rows cannot
+change which assignment is optimal for the valid rows, so callers simply mask
+them out of the result. `solve` handles this via `row_valid`.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+_INF = jnp.float32(jnp.inf)
+
+
+def _augmenting_path(cost, u, v, row4col, cur_row):
+    """Shortest augmenting path from cur_row. Returns (sink, min_val,
+    shortest, path, done, visited_rows)."""
+    nr, nc = cost.shape
+
+    def cond(state):
+        _, _, _, _, _, sink, _ = state
+        return sink < 0
+
+    def body(state):
+        i, min_val, shortest, done, path, _, vis = state
+        vis = vis.at[i].set(True)
+        r = min_val + cost[i, :] - u[i] - v
+        upd = (r < shortest) & (~done)
+        shortest = jnp.where(upd, r, shortest)
+        path = jnp.where(upd, i, path)
+        masked = jnp.where(done, _INF, shortest)
+        j = jnp.argmin(masked)
+        min_val = masked[j]
+        done = done.at[j].set(True)
+        hit = row4col[j] < 0
+        sink = jnp.where(hit, j, -1)
+        i = jnp.where(hit, i, row4col[j])
+        return i, min_val, shortest, done, path, sink, vis
+
+    init = (cur_row, jnp.float32(0.0),
+            jnp.full((nc,), _INF), jnp.zeros((nc,), bool),
+            jnp.full((nc,), -1, jnp.int32), jnp.int32(-1),
+            jnp.zeros((nr,), bool))
+    i, min_val, shortest, done, path, sink, vis = jax.lax.while_loop(
+        cond, body, init)
+    return sink, min_val, shortest, path, done, vis
+
+
+def solve(cost: jax.Array, row_valid: jax.Array | None = None):
+    """Minimize sum(cost[i, assign[i]]) over permutations; NR <= NC.
+
+    Args:
+      cost: (NR, NC) float32 cost matrix.
+      row_valid: optional (NR,) bool; invalid rows are replaced by a constant
+        row so they can't perturb the valid rows' optimum.
+
+    Returns:
+      col4row: (NR,) int32 — assigned column per row (valid for all rows;
+        mask with row_valid yourself).
+    """
+    nr, nc = cost.shape
+    assert nr <= nc, "pad GTs along rows; queries along columns"
+    cost = cost.astype(jnp.float32)
+    if row_valid is not None:
+        cost = jnp.where(row_valid[:, None], cost, 0.0)
+
+    def per_row(cur_row, state):
+        u, v, col4row, row4col = state
+        sink, min_val, shortest, path, done, vis = _augmenting_path(
+            cost, u, v, row4col, cur_row)
+        # dual update (scipy rectangular_lsap semantics)
+        u = u.at[cur_row].add(min_val)
+        others = vis & (jnp.arange(nr) != cur_row)
+        u = jnp.where(others, u + min_val - shortest[col4row], u)
+        v = jnp.where(done, v - (min_val - shortest), v)
+
+        # augment along path from sink back to cur_row
+        def aug_cond(s):
+            _, _, _, stop = s
+            return ~stop
+
+        def aug_body(s):
+            j, c4r, r4c, _ = s
+            i = path[j]
+            r4c = r4c.at[j].set(i)
+            nxt = c4r[i]
+            c4r = c4r.at[i].set(j)
+            return nxt, c4r, r4c, i == cur_row
+
+        _, col4row, row4col, _ = jax.lax.while_loop(
+            aug_cond, aug_body, (sink, col4row, row4col, False))
+        return u, v, col4row, row4col
+
+    u = jnp.zeros((nr,), jnp.float32)
+    v = jnp.zeros((nc,), jnp.float32)
+    col4row = jnp.full((nr,), -1, jnp.int32)
+    row4col = jnp.full((nc,), -1, jnp.int32)
+    _, _, col4row, _ = jax.lax.fori_loop(
+        0, nr, per_row, (u, v, col4row, row4col))
+    return col4row

@@ -1,0 +1,71 @@
+"""Static-shape batched class-wise NMS for TPU.
+
+Reproduces mmdet `multiclass_nms` as used by the reference pseudo-label /
+warm-up decode path (`detr_od/models/dense_heads/dino_detr_ssod_head.py:
+1368-1399`): sigmoid scores per class, score_thr=0.01, class-wise greedy NMS
+at iou 0.6, keep top `max_out` by score. Class separation uses the standard
+coordinate-offset trick so a single greedy pass handles all classes.
+
+TPU-first: all shapes static. Candidates = top-`pre_topk` of the flattened
+(num_boxes * num_classes) score matrix (the reference processes every
+score>0.01 candidate; with 900 queries x 80 classes the top 1500 candidates
+dominate — anything past that is far below any usable pseudo-label/mAP
+threshold). Suppression is a fori_loop over candidates in score order with a
+vectorized IoU row per step. Output is fixed (max_out,) with a validity mask.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..core import boxes as box_ops
+
+
+@partial(jax.jit, static_argnames=("pre_topk", "max_out", "iou_thr",
+                                   "score_thr"))
+def multiclass_nms(boxes_xyxy: jax.Array, scores: jax.Array,
+                   score_thr: float = 0.01, iou_thr: float = 0.6,
+                   max_out: int = 300, pre_topk: int = 1500):
+    """Args:
+      boxes_xyxy: (N, 4) shared boxes across classes (DETR decode).
+      scores: (N, C) per-class sigmoid scores.
+
+    Returns dict with static shapes (max_out,):
+      boxes (max_out, 4), scores (max_out,), labels (max_out,) int32,
+      valid (max_out,) bool — sorted by descending score.
+    """
+    n, c = scores.shape
+    k = min(pre_topk, n * c)
+    flat = scores.reshape(-1)
+    top_scores, top_idx = jax.lax.top_k(flat, k)
+    box_idx = top_idx // c
+    labels = (top_idx % c).astype(jnp.int32)
+    cand = boxes_xyxy[box_idx]                        # (k, 4)
+    alive = top_scores > score_thr
+
+    # class-offset trick: disjoint coordinate ranges per class
+    extent = jnp.maximum(boxes_xyxy.max(), 1.0) + 1.0
+    off = labels.astype(cand.dtype)[:, None] * extent
+    cand_off = cand + off
+
+    iou = box_ops.pairwise_iou(cand_off, cand_off)    # (k, k)
+
+    def body(i, keep):
+        # candidate i survives if alive and not suppressed so far
+        sup = jnp.where(keep[i], iou[i] > iou_thr, False)
+        sup = sup & (jnp.arange(k) > i)               # only later (lower score)
+        return keep & ~sup
+
+    keep = jax.lax.fori_loop(0, k, body, alive)
+
+    # pack survivors to the front, sorted by score (stable: already sorted)
+    sel_scores = jnp.where(keep, top_scores, -1.0)
+    order = jnp.argsort(-sel_scores)[:max_out]
+    return {
+        "boxes": cand[order],
+        "scores": jnp.clip(sel_scores[order], 0.0),
+        "labels": labels[order],
+        "valid": keep[order] & (sel_scores[order] > 0),
+    }

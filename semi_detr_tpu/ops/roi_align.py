@@ -1,0 +1,108 @@
+"""RoIAlign + multi-level RoI extraction — XLA gather formulation.
+
+Replaces mmcv's CUDA RoIAlign consumed by the reference consistency-query
+projector (`detr_ssod/models/dino_detr_ssod.py:97-101`: SingleRoIExtractor,
+output 7x7, featmap strides [8,16,32,64]). `aligned=True` semantics
+(mmcv default): continuous coordinates are used directly with a half-pixel
+shift, bilinear sampled with `sampling_ratio` taps per bin axis.
+
+Deviation (documented): the reference uses sampling_ratio=0 (adaptive
+ceil(roi_extent/out_size) taps — a dynamic shape). We use a static
+sampling_ratio (default 2), the common fixed setting; the output feeds a
+learned projector, so this is a re-parameterization rather than a behavior
+gap.
+
+Level assignment follows mmdet SingleRoIExtractor.map_roi_levels:
+lvl = clamp(floor(log2(sqrt(area)/finest_scale + 1e-6)), 0, L-1),
+finest_scale=56.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+
+
+def _bilinear(feat: jax.Array, x: jax.Array, y: jax.Array):
+    """Sample feat (H, W, C) at continuous (x, y) points (...,) -> (..., C).
+
+    Matches torchvision/mmcv roi_align interpolation: points outside
+    [-1, H/W] return 0; coords below 0 are clamped to 0 (see mmcv
+    roi_align bilinear_interpolate)."""
+    h, w, _ = feat.shape
+    oob = (x < -1.0) | (x > w) | (y < -1.0) | (y > h)
+    x = jnp.clip(x, 0.0, None)
+    y = jnp.clip(y, 0.0, None)
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    # replicate the CUDA kernel's high-index clamp: x_high = x_low = W-1
+    x0 = jnp.minimum(x0, w - 1)
+    y0 = jnp.minimum(y0, h - 1)
+    x1 = jnp.minimum(x0 + 1, w - 1)
+    y1 = jnp.minimum(y0 + 1, h - 1)
+    fx = jnp.clip(x - x0, 0.0, 1.0)
+    fy = jnp.clip(y - y0, 0.0, 1.0)
+
+    flat = feat.reshape(h * w, -1)
+
+    def g(yy, xx):
+        return flat[yy * w + xx]
+
+    v = (g(y0, x0) * ((1 - fx) * (1 - fy))[..., None]
+         + g(y0, x1) * (fx * (1 - fy))[..., None]
+         + g(y1, x0) * ((1 - fx) * fy)[..., None]
+         + g(y1, x1) * (fx * fy)[..., None])
+    return jnp.where(oob[..., None], 0.0, v)
+
+
+def roi_align_level(feat: jax.Array, rois_xyxy: jax.Array, stride: float,
+                    out_size: int = 7, sampling_ratio: int = 2):
+    """RoIAlign on one level. feat: (H, W, C); rois: (R, 4) in image coords.
+    Returns (R, out_size, out_size, C)."""
+    scale = 1.0 / stride
+    x0 = rois_xyxy[:, 0] * scale - 0.5
+    y0 = rois_xyxy[:, 1] * scale - 0.5
+    x1 = rois_xyxy[:, 2] * scale - 0.5
+    y1 = rois_xyxy[:, 3] * scale - 0.5
+    rw = x1 - x0
+    rh = y1 - y0
+
+    s = sampling_ratio
+    bin_w = rw / out_size
+    bin_h = rh / out_size
+    # tap grid: (out, s) offsets within the roi
+    ix = jnp.arange(out_size)[:, None] + (jnp.arange(s)[None, :] + 0.5) / s
+    # sample x coords: (R, out, s)
+    sx = x0[:, None, None] + bin_w[:, None, None] * ix[None]
+    sy = y0[:, None, None] + bin_h[:, None, None] * ix[None]
+    # full grid (R, out, s, out, s)
+    gx = jnp.broadcast_to(sx[:, None, None, :, :],
+                          (rois_xyxy.shape[0], out_size, s, out_size, s))
+    gy = jnp.broadcast_to(sy[:, :, :, None, None],
+                          (rois_xyxy.shape[0], out_size, s, out_size, s))
+    v = _bilinear(feat, gx, gy)                     # (R, oh, s, ow, s, C)
+    return v.mean(axis=(2, 4))                      # (R, oh, ow, C)
+
+
+@partial(jax.jit, static_argnames=("strides", "out_size", "sampling_ratio",
+                                   "finest_scale"))
+def multi_level_roi_align(feats: Sequence[jax.Array], rois_xyxy: jax.Array,
+                          strides=(8, 16, 32, 64), out_size: int = 7,
+                          sampling_ratio: int = 2, finest_scale: int = 56):
+    """SingleRoIExtractor: route each RoI to one pyramid level by scale.
+
+    feats: list of (H_l, W_l, C) for each stride. rois: (R, 4) image coords.
+    Returns (R, out_size, out_size, C).
+    """
+    areas = jnp.clip((rois_xyxy[:, 2] - rois_xyxy[:, 0])
+                     * (rois_xyxy[:, 3] - rois_xyxy[:, 1]), 0)
+    lvl = jnp.floor(jnp.log2(jnp.sqrt(areas) / finest_scale + 1e-6))
+    lvl = jnp.clip(lvl, 0, len(strides) - 1).astype(jnp.int32)
+    outs = jnp.stack([
+        roi_align_level(f, rois_xyxy, s, out_size, sampling_ratio)
+        for f, s in zip(feats, strides)
+    ])                                              # (L, R, oh, ow, C)
+    return jnp.take_along_axis(
+        outs, lvl[None, :, None, None, None], axis=0)[0]

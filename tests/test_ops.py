@@ -1,0 +1,165 @@
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from sklearn.mixture import GaussianMixture
+
+from semi_detr_tpu.ops.gmm import fit_gmm_threshold
+from semi_detr_tpu.ops.nms import multiclass_nms
+from semi_detr_tpu.ops.roi_align import multi_level_roi_align, roi_align_level
+
+
+# ---------------------------------------------------------------- GMM
+def _sklearn_thr(data):
+    """Reference rule: sklearn GMM (diag), threshold = cost of max-likelihood
+    sample in the low-mean component (component 0 by means_init order)."""
+    d = np.sort(data).reshape(-1, 1)
+    gm = GaussianMixture(
+        2, weights_init=[0.5, 0.5],
+        means_init=np.array([[d.min()], [d.max()]]),
+        precisions_init=np.ones((2, 1)), covariance_type='diag',
+        reg_covar=1e-5)
+    gm.fit(d)
+    a = gm.predict(d)
+    s = gm.score_samples(d)
+    mask = a == 0
+    if not mask.any():
+        mask = a == 1
+    return float(d[mask][np.argmax(s[mask])])
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_gmm_threshold_matches_sklearn(seed):
+    rng = np.random.RandomState(seed)
+    lo = rng.normal(2.0, 0.3, 60)
+    hi = rng.normal(8.0, 1.0, 40)
+    data = np.concatenate([lo, hi]).astype(np.float32)
+    pad = np.zeros(28, np.float32)
+    costs = np.concatenate([data, pad])
+    valid = np.concatenate([np.ones(100, bool), np.zeros(28, bool)])
+    ours = float(fit_gmm_threshold(jnp.asarray(costs), jnp.asarray(valid)))
+    ref = _sklearn_thr(data)
+    # same bimodal split: thresholds should fall at the same sample or within
+    # the low-cluster spread
+    assert abs(ours - ref) < 0.5, (ours, ref)
+    # threshold must separate the modes
+    assert 0.5 < ours < 8.0
+
+
+def test_gmm_degenerate_pools():
+    costs = jnp.zeros((16,))
+    assert float(fit_gmm_threshold(costs, jnp.zeros(16, bool))) == 0.0
+    one = jnp.asarray([3.5] + [0.0] * 15)
+    v = jnp.asarray([True] + [False] * 15)
+    assert float(fit_gmm_threshold(one, v)) == pytest.approx(3.5)
+
+
+# ---------------------------------------------------------------- NMS
+def _np_multiclass_nms(boxes, scores, score_thr, iou_thr, max_out):
+    cands = []
+    n, c = scores.shape
+    for cls in range(c):
+        idx = np.where(scores[:, cls] > score_thr)[0]
+        order = idx[np.argsort(-scores[idx, cls])]
+        kept = []
+        for i in order:
+            ok = True
+            for j in kept:
+                bi, bj = boxes[i], boxes[j]
+                ix0, iy0 = max(bi[0], bj[0]), max(bi[1], bj[1])
+                ix1, iy1 = min(bi[2], bj[2]), min(bi[3], bj[3])
+                inter = max(ix1 - ix0, 0) * max(iy1 - iy0, 0)
+                a = (bi[2] - bi[0]) * (bi[3] - bi[1])
+                b = (bj[2] - bj[0]) * (bj[3] - bj[1])
+                if inter / max(a + b - inter, 1e-6) > iou_thr:
+                    ok = False
+                    break
+            if ok:
+                kept.append(i)
+        for i in kept:
+            cands.append((scores[i, cls], i, cls))
+    cands.sort(key=lambda t: -t[0])
+    return cands[:max_out]
+
+
+def test_nms_matches_numpy_reference():
+    rng = np.random.RandomState(3)
+    n, c = 60, 5
+    ctr = rng.uniform(50, 450, (n, 2))
+    wh = rng.uniform(20, 120, (n, 2))
+    boxes = np.concatenate([ctr - wh / 2, ctr + wh / 2], -1).astype(np.float32)
+    scores = rng.uniform(0, 1, (n, c)).astype(np.float32) ** 2
+    out = multiclass_nms(jnp.asarray(boxes), jnp.asarray(scores),
+                         score_thr=0.05, iou_thr=0.5, max_out=40,
+                         pre_topk=n * c)
+    ref = _np_multiclass_nms(boxes, scores, 0.05, 0.5, 40)
+    nv = int(np.asarray(out["valid"]).sum())
+    assert nv == len(ref)
+    for k in range(nv):
+        s, i, cls = ref[k]
+        assert np.asarray(out["labels"])[k] == cls
+        np.testing.assert_allclose(np.asarray(out["scores"])[k], s, rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(out["boxes"])[k], boxes[i],
+                                   rtol=1e-5)
+
+
+def test_nms_empty():
+    out = multiclass_nms(jnp.zeros((10, 4)), jnp.zeros((10, 3)),
+                         max_out=5, pre_topk=30)
+    assert not bool(np.asarray(out["valid"]).any())
+
+
+# ------------------------------------------------------------ RoIAlign
+def _np_roi_align(feat, roi, stride, out, ratio):
+    """Direct loop implementation of aligned RoIAlign (independent ref)."""
+    H, W, C = feat.shape
+    x0, y0, x1, y1 = (v / stride - 0.5 for v in roi)
+    bw, bh = (x1 - x0) / out, (y1 - y0) / out
+    res = np.zeros((out, out, C))
+    for oy in range(out):
+        for ox in range(out):
+            acc = np.zeros(C)
+            for sy in range(ratio):
+                for sx in range(ratio):
+                    y = y0 + bh * (oy + (sy + 0.5) / ratio)
+                    x = x0 + bw * (ox + (sx + 0.5) / ratio)
+                    if x < -1 or x > W or y < -1 or y > H:
+                        continue
+                    x, y = max(x, 0), max(y, 0)
+                    xl, yl = min(int(x), W - 1), min(int(y), H - 1)
+                    xh, yh = min(xl + 1, W - 1), min(yl + 1, H - 1)
+                    fx, fy = min(x - xl, 1.0), min(y - yl, 1.0)
+                    acc += (feat[yl, xl] * (1 - fx) * (1 - fy)
+                            + feat[yl, xh] * fx * (1 - fy)
+                            + feat[yh, xl] * (1 - fx) * fy
+                            + feat[yh, xh] * fx * fy)
+            res[oy, ox] = acc / ratio ** 2
+    return res
+
+
+def test_roi_align_matches_loop_reference():
+    rng = np.random.RandomState(5)
+    feat = rng.randn(16, 24, 3).astype(np.float32)
+    rois = np.array([[8., 16., 100., 90.], [0., 0., 30., 30.],
+                     [-5., -5., 10., 200.]], np.float32)
+    got = np.asarray(roi_align_level(jnp.asarray(feat), jnp.asarray(rois),
+                                     stride=8.0, out_size=7,
+                                     sampling_ratio=2))
+    for r in range(len(rois)):
+        ref = _np_roi_align(feat, rois[r], 8.0, 7, 2)
+        np.testing.assert_allclose(got[r], ref, rtol=1e-4, atol=1e-5)
+
+
+def test_multi_level_routing():
+    rng = np.random.RandomState(6)
+    feats = [jnp.asarray(rng.randn(64 // (2 ** i), 64 // (2 ** i), 4)
+                         .astype(np.float32)) for i in range(4)]
+    # small roi -> level 0, large -> level 3
+    rois = jnp.asarray([[10., 10., 40., 40.],       # sqrt(900)=30 -> lvl0
+                        [0., 0., 500., 500.]])      # sqrt -> lvl3
+    out = multi_level_roi_align(tuple(feats), rois)
+    small_l0 = roi_align_level(feats[0], rois[:1], 8)
+    big_l3 = roi_align_level(feats[3], rois[1:], 64)
+    np.testing.assert_allclose(np.asarray(out[0]), np.asarray(small_l0[0]),
+                               rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(out[1]), np.asarray(big_l3[0]),
+                               rtol=1e-5)
