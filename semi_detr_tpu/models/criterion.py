@@ -1,0 +1,160 @@
+"""Detection criterion — per-layer matching, DN, and encoder losses.
+
+Reproduces `DINODETRSSODHead.loss / loss_single / loss_single_dn`
+(`detr_od/models/dense_heads/dino_detr_ssod_head.py:508-884`):
+
+* matching block: per decoder layer, Hungarian(+FocalLoss) after warm-up or
+  O2M(+TaskAlignedFocal) during warm-up; encoder interim outputs get the
+  same loss with class-agnostic (all-zero) labels (`:568-579`).
+* dn block: targets by construction (positive chunks reconstruct their GT,
+  negative chunks are background — `_get_target_single_dn :885-957`);
+  zeroed when `in_warm_up and is_pseudo_label` (`:550-556`); images with no
+  real GT contribute no dn loss (`:941-946` + fake-GT pad_mask).
+* avg-factor semantics ported exactly, incl. which factors are
+  cross-device reduce_mean'd (`reduce_mean` call sites `:686-703, 757-760,
+  840-853`) — here `lax.pmean` over `axis_name` when provided.
+* the reference returns loss_bbox / loss_bbox_xy / loss_bbox_hw as separate
+  dict entries that mmcv sums, doubling the effective L1 weight; `l1_terms`
+  reproduces this faithfully.
+
+`warm_up` is a STATIC python bool: the train step is compiled per stage
+(one recompile at the stage boundary instead of a traced branch).
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..core import boxes as box_ops
+from . import assign, losses
+from .dn import CdnBatch
+
+CLS_W, L1_W, GIOU_W = 2.0, 5.0, 2.0
+
+
+def _pmean(x, axis_name):
+    return jax.lax.pmean(x, axis_name) if axis_name else x
+
+
+def _layer_loss(cls_scores, bbox_preds, gt, warm_up: bool, num_classes: int,
+                axis_name: Optional[str], prefix: str) -> Dict[str, Any]:
+    """Loss for one decoder layer's matching block across the batch.
+    cls_scores (B, Nq, K); bbox_preds (B, Nq, 4); gt dict of
+    boxes (B,G,4) cxcywh-normalized / labels (B,G) / valid (B,G)."""
+    fn = assign.o2m_targets if warm_up else assign.one_to_one_targets
+    tg = jax.vmap(lambda c, b, gb, gl, gv: fn(
+        c, b, gb, gl, gv, num_classes))(
+        cls_scores, bbox_preds, gt["boxes"], gt["labels"], gt["valid"])
+
+    num_total_pos = tg.num_pos.sum()
+    pred_xyxy = box_ops.cxcywh_to_xyxy(bbox_preds)
+    tgt_xyxy = box_ops.cxcywh_to_xyxy(tg.bbox_targets)
+
+    out = {}
+    if warm_up:
+        sum_metrics = jnp.maximum(_pmean(tg.norm_metrics.sum(), axis_name),
+                                  1.0)
+        out[f"{prefix}loss_cls"] = CLS_W * losses.task_aligned_focal_loss(
+            jax.nn.sigmoid(cls_scores), tg.labels, tg.norm_metrics,
+            tg.label_weights, sum_metrics, num_classes)
+        reg_avg = jnp.maximum(
+            _pmean(tg.bbox_weights[..., 0].sum(), axis_name), 1.0)
+    else:
+        cls_avg = jnp.maximum(num_total_pos, 1.0)
+        out[f"{prefix}loss_cls"] = CLS_W * losses.sigmoid_focal_loss(
+            cls_scores, tg.labels, tg.label_weights, cls_avg, num_classes)
+        reg_avg = jnp.maximum(_pmean(num_total_pos, axis_name), 1.0)
+
+    out[f"{prefix}loss_iou"] = GIOU_W * losses.giou_loss(
+        pred_xyxy, tgt_xyxy, tg.bbox_weights[..., 0], reg_avg)
+    full, xy, hw = losses.l1_terms(bbox_preds, tg.bbox_targets,
+                                   tg.bbox_weights, reg_avg)
+    out[f"{prefix}loss_bbox"] = L1_W * full
+    out[f"{prefix}loss_bbox_xy"] = L1_W * xy
+    out[f"{prefix}loss_bbox_hw"] = L1_W * hw
+    return out
+
+
+def _dn_layer_loss(cls_scores, bbox_preds, gt, cdn: CdnBatch,
+                   groups: int, num_classes: int,
+                   axis_name: Optional[str], prefix: str) -> Dict[str, Any]:
+    """DN loss for one decoder layer. Targets by construction from the
+    static CDN layout."""
+    B, pad, _ = cls_scores.shape
+    gt_idx = cdn.gt_idx                                   # (pad,)
+    is_pos = cdn.is_positive                              # (pad,)
+    # real (non-fake) gt at this slot?
+    slot_real = jnp.take(gt["valid"], gt_idx, axis=1)     # (B, pad)
+    slot_real = slot_real & ~cdn.pad_mask[:, None]
+
+    labels = jnp.take(gt["labels"], gt_idx, axis=1)
+    labels = jnp.where(is_pos[None] & slot_real, labels, num_classes)
+    labels = labels.astype(jnp.int32)
+
+    has_real = ~cdn.pad_mask                              # (B,)
+    label_weights = jnp.broadcast_to(
+        has_real[:, None].astype(jnp.float32), (B, pad))
+
+    bbox_targets = jnp.take(gt["boxes"], gt_idx, axis=1)  # (B, pad, 4)
+    pos_mask = (is_pos[None] & slot_real).astype(jnp.float32)
+    bbox_weights = jnp.broadcast_to(pos_mask[..., None], (B, pad, 4))
+    bbox_targets = bbox_targets * pos_mask[..., None]
+
+    num_total_pos = pos_mask.sum()
+    cls_avg = jnp.maximum(num_total_pos, 1.0)
+    reg_avg = jnp.maximum(_pmean(num_total_pos, axis_name), 1.0)
+
+    out = {
+        f"{prefix}dn_loss_cls": CLS_W * losses.sigmoid_focal_loss(
+            cls_scores, labels, label_weights, cls_avg, num_classes),
+        f"{prefix}dn_loss_iou": GIOU_W * losses.giou_loss(
+            box_ops.cxcywh_to_xyxy(bbox_preds),
+            box_ops.cxcywh_to_xyxy(bbox_targets),
+            bbox_weights[..., 0], reg_avg),
+    }
+    full, xy, hw = losses.l1_terms(bbox_preds, bbox_targets, bbox_weights,
+                                   reg_avg)
+    out[f"{prefix}dn_loss_bbox"] = L1_W * full
+    out[f"{prefix}dn_loss_bbox_xy"] = L1_W * xy
+    out[f"{prefix}dn_loss_bbox_hw"] = L1_W * hw
+    return out
+
+
+def detection_loss(outputs: Dict[str, Any], gt: Dict[str, Any],
+                   num_classes: int, dn_groups: int, warm_up: bool,
+                   axis_name: Optional[str] = None,
+                   is_pseudo_label: bool = False) -> Dict[str, Any]:
+    """Full DINO loss. `outputs` from DINODetector.__call__ (training mode
+    with CDN). Returns dict of named losses + 'total'."""
+    n_dec = outputs["cls"].shape[0]
+    out: Dict[str, Any] = {}
+
+    for lid in range(n_dec):
+        prefix = "" if lid == n_dec - 1 else f"d{lid}."
+        out.update(_layer_loss(outputs["cls"][lid], outputs["coord"][lid],
+                               gt, warm_up, num_classes, axis_name, prefix))
+
+    # encoder interim loss with class-agnostic labels (reference :568-571)
+    bin_gt = dict(gt, labels=jnp.zeros_like(gt["labels"]))
+    out.update(_layer_loss(outputs["enc_cls"], outputs["enc_coord"], bin_gt,
+                           warm_up, num_classes, axis_name, "enc_"))
+
+    if "front_cls" in outputs and "cdn" in outputs:
+        if warm_up and is_pseudo_label:
+            for lid in range(n_dec):
+                prefix = "" if lid == n_dec - 1 else f"d{lid}."
+                for k in ("dn_loss_cls", "dn_loss_bbox", "dn_loss_iou",
+                          "dn_loss_bbox_xy", "dn_loss_bbox_hw"):
+                    out[f"{prefix}{k}"] = jnp.float32(0.0)
+        else:
+            for lid in range(n_dec):
+                prefix = "" if lid == n_dec - 1 else f"d{lid}."
+                out.update(_dn_layer_loss(
+                    outputs["front_cls"][lid], outputs["front_coord"][lid],
+                    gt, outputs["cdn"], dn_groups, num_classes, axis_name,
+                    prefix))
+
+    out["total"] = sum(v for k, v in out.items() if "loss" in k)
+    return out

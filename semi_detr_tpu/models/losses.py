@@ -1,0 +1,92 @@
+"""Losses: sigmoid focal, task-aligned focal (QFL-style), L1, GIoU.
+
+Semantics match the reference's active losses:
+* FocalLoss (mmdet sigmoid focal, alpha=.25 gamma=2, loss_weight 2) —
+  `loss_cls2` in `dino_detr_ssod_head.py:107-113`.
+* TaskAlignedFocalLoss (reference
+  `detr_od/models/losses/task_aligned_focal_loss.py:35-65`):
+  |soft - p|^gamma * BCE(p, soft) with soft = metric * onehot, no alpha —
+  `loss_cls1`.
+* L1 on normalized cxcywh (weight 5) and GIoU (weight 2) — note the
+  reference ALSO logs loss_bbox_xy/loss_bbox_hw as separate loss keys that
+  mmcv's parse_losses sums into the total, so the effective L1 term is
+  doubled; `l1_terms` reproduces that.
+
+All functions are mask/weight based (static shapes); `avg_factor` follows
+mmdet weight_reduce_loss: sum(loss * weight) / avg_factor.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..core import boxes as box_ops
+
+
+def sigmoid_focal_loss(logits, labels, weight, avg_factor,
+                       num_classes: int, alpha: float = 0.25,
+                       gamma: float = 2.0):
+    """logits: (..., K); labels: (...,) int with num_classes = background;
+    weight: (...,) per-element; returns scalar sum/avg_factor."""
+    onehot = jax.nn.one_hot(labels, num_classes, dtype=logits.dtype)
+    p = jax.nn.sigmoid(logits)
+    ce = (jnp.logaddexp(0.0, -logits) * onehot
+          + jnp.logaddexp(0.0, logits) * (1 - onehot))
+    pt = p * onehot + (1 - p) * (1 - onehot)
+    alpha_t = alpha * onehot + (1 - alpha) * (1 - onehot)
+    loss = alpha_t * ((1 - pt) ** gamma) * ce
+    return (loss.sum(-1) * weight).sum() / jnp.maximum(avg_factor, 1.0)
+
+
+def task_aligned_focal_loss(prob, labels, metrics, weight, avg_factor,
+                            num_classes: int, gamma: float = 2.0):
+    """prob: (..., K) sigmoid probabilities; labels int (bg=num_classes);
+    metrics: (...,) soft targets."""
+    onehot = jax.nn.one_hot(labels, num_classes, dtype=prob.dtype)
+    soft = metrics[..., None] * onehot
+    p = jnp.clip(prob, 1e-12, 1 - 1e-12)
+    ce = -(soft * jnp.log(p) + (1 - soft) * jnp.log(1 - p))
+    loss = (jnp.abs(soft - prob) ** gamma) * ce
+    return (loss.sum(-1) * weight).sum() / jnp.maximum(avg_factor, 1.0)
+
+
+def l1_loss(pred, target, weight, avg_factor):
+    """pred/target (..., D), weight (..., D) per-coordinate."""
+    return (jnp.abs(pred - target) * weight).sum() / jnp.maximum(
+        avg_factor, 1.0)
+
+
+def giou_loss(pred_xyxy, target_xyxy, weight, avg_factor):
+    """weight: (...,) per-box (mmdet reduces (n,4) weights by mean(-1))."""
+    g = box_ops.elementwise_giou(pred_xyxy, target_xyxy)
+    return ((1.0 - g) * weight).sum() / jnp.maximum(avg_factor, 1.0)
+
+
+def l1_terms(pred, target, weight4, avg_factor):
+    """Returns (full, xy, hw) L1 terms — all three enter the total loss in
+    the reference (mmcv sums every 'loss' key)."""
+    full = l1_loss(pred, target, weight4, avg_factor)
+    xy = l1_loss(pred[..., :2], target[..., :2], weight4[..., :2],
+                 avg_factor)
+    hw = l1_loss(pred[..., 2:], target[..., 2:], weight4[..., 2:],
+                 avg_factor)
+    return full, xy, hw
+
+
+def focal_cost(logits, gt_labels, alpha: float = 0.25, gamma: float = 2.0,
+               eps: float = 1e-12):
+    """mmdet FocalLossCost: (Nq, G) matching cost.
+    logits (Nq, K); gt_labels (G,)."""
+    p = jax.nn.sigmoid(logits)
+    neg = -jnp.log(1 - p + eps) * (1 - alpha) * (p ** gamma)
+    pos = -jnp.log(p + eps) * alpha * ((1 - p) ** gamma)
+    return (pos - neg)[:, gt_labels]
+
+
+def pair_l1_cost(pred_cxcywh, gt_cxcywh):
+    """mmdet BBoxL1Cost (xywh): cdist p=1 -> (Nq, G)."""
+    return jnp.abs(pred_cxcywh[:, None] - gt_cxcywh[None]).sum(-1)
+
+
+def giou_cost(pred_xyxy, gt_xyxy):
+    return -box_ops.pairwise_giou(pred_xyxy, gt_xyxy)
