@@ -1,0 +1,142 @@
+"""COCO-format dataset reader — no pycocotools dependency.
+
+Capability parity with mmdet `CocoDataset` as the reference consumes it
+(`thirdparty/mmdetection/mmdet/datasets/coco.py` via
+`configs/detr_ssod/base_dino_detr_ssod_coco.py:199-230`): contiguous label
+mapping from category ids, `filter_empty_gt`, min-size image filtering,
+aspect-ratio group flags (for the group sampler), iscrowd -> ignore.
+
+Pure numpy/JSON; feeds the host-side input pipeline.
+"""
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+COCO_CLASSES = (
+    "person", "bicycle", "car", "motorcycle", "airplane", "bus", "train",
+    "truck", "boat", "traffic light", "fire hydrant", "stop sign",
+    "parking meter", "bench", "bird", "cat", "dog", "horse", "sheep", "cow",
+    "elephant", "bear", "zebra", "giraffe", "backpack", "umbrella",
+    "handbag", "tie", "suitcase", "frisbee", "skis", "snowboard",
+    "sports ball", "kite", "baseball bat", "baseball glove", "skateboard",
+    "surfboard", "tennis racket", "bottle", "wine glass", "cup", "fork",
+    "knife", "spoon", "bowl", "banana", "apple", "sandwich", "orange",
+    "broccoli", "carrot", "hot dog", "pizza", "donut", "cake", "chair",
+    "couch", "potted plant", "bed", "dining table", "toilet", "tv",
+    "laptop", "mouse", "remote", "keyboard", "cell phone", "microwave",
+    "oven", "toaster", "sink", "refrigerator", "book", "clock", "vase",
+    "scissors", "teddy bear", "hair drier", "toothbrush")
+
+VOC_CLASSES = (
+    "aeroplane", "bicycle", "bird", "boat", "bottle", "bus", "car", "cat",
+    "chair", "cow", "diningtable", "dog", "horse", "motorbike", "person",
+    "pottedplant", "sheep", "sofa", "train", "tvmonitor")
+
+
+@dataclass
+class ImageRecord:
+    id: int
+    file_name: str
+    width: int
+    height: int
+    boxes: np.ndarray          # (n, 4) xyxy float32 (valid, non-ignore)
+    labels: np.ndarray         # (n,) int64 contiguous labels
+    boxes_ignore: np.ndarray   # (m, 4) iscrowd/ignore boxes
+    labels_ignore: np.ndarray = field(
+        default_factory=lambda: np.zeros(0, np.int64))
+    ann_ids: np.ndarray = field(default_factory=lambda: np.zeros(0, np.int64))
+
+    @property
+    def aspect_flag(self) -> int:
+        """mmdet group flag: 1 if w/h > 1 else 0."""
+        return int(self.width / self.height > 1)
+
+
+class CocoDataset:
+    """Loads a COCO-format annotation JSON.
+
+    Args:
+      ann_file: path to instances json (or a dict already parsed).
+      img_prefix: directory joined to file_name.
+      classes: class-name tuple; category ids are mapped to this order.
+      filter_empty_gt: drop images without valid annotations (train mode).
+      min_size: drop images smaller than this on either side.
+    """
+
+    def __init__(self, ann_file, img_prefix: str = "",
+                 classes: Sequence[str] = COCO_CLASSES,
+                 filter_empty_gt: bool = True, min_size: int = 32,
+                 test_mode: bool = False):
+        self.img_prefix = img_prefix
+        self.classes = tuple(classes)
+        if isinstance(ann_file, (str, os.PathLike)):
+            with open(ann_file) as f:
+                coco = json.load(f)
+        else:
+            coco = ann_file
+        name_to_contig = {n: i for i, n in enumerate(self.classes)}
+        self.cat_id_to_label: Dict[int, int] = {}
+        self.label_to_cat_id: Dict[int, int] = {}
+        for cat in coco.get("categories", []):
+            if cat["name"] in name_to_contig:
+                lbl = name_to_contig[cat["name"]]
+                self.cat_id_to_label[cat["id"]] = lbl
+                self.label_to_cat_id[lbl] = cat["id"]
+
+        anns_by_img: Dict[int, list] = {}
+        for ann in coco.get("annotations", []):
+            anns_by_img.setdefault(ann["image_id"], []).append(ann)
+
+        self.records: List[ImageRecord] = []
+        for img in coco.get("images", []):
+            w, h = img["width"], img["height"]
+            if min(w, h) < min_size and not test_mode:
+                continue
+            boxes, labels, ignores, ig_labels, ann_ids = [], [], [], [], []
+            for ann in anns_by_img.get(img["id"], []):
+                if ann.get("category_id") not in self.cat_id_to_label:
+                    continue
+                x, y, bw, bh = ann["bbox"]
+                if bw <= 0 or bh <= 0 or ann.get("area", bw * bh) <= 0:
+                    continue
+                box = [x, y, x + bw, y + bh]
+                if ann.get("iscrowd", 0) or ann.get("ignore", 0):
+                    ignores.append(box)
+                    ig_labels.append(self.cat_id_to_label[ann["category_id"]])
+                else:
+                    boxes.append(box)
+                    labels.append(self.cat_id_to_label[ann["category_id"]])
+                    ann_ids.append(ann.get("id", 0))
+            if filter_empty_gt and not test_mode and not boxes:
+                continue
+            self.records.append(ImageRecord(
+                id=img["id"], file_name=img["file_name"], width=w, height=h,
+                boxes=np.asarray(boxes, np.float32).reshape(-1, 4),
+                labels=np.asarray(labels, np.int64),
+                boxes_ignore=np.asarray(ignores, np.float32).reshape(-1, 4),
+                labels_ignore=np.asarray(ig_labels, np.int64),
+                ann_ids=np.asarray(ann_ids, np.int64)))
+
+    def __len__(self):
+        return len(self.records)
+
+    def __getitem__(self, i) -> ImageRecord:
+        return self.records[i]
+
+    @property
+    def flags(self) -> np.ndarray:
+        return np.asarray([r.aspect_flag for r in self.records], np.int64)
+
+    def load_image(self, i) -> np.ndarray:
+        """Returns HWC uint8 RGB."""
+        import cv2
+        path = os.path.join(self.img_prefix, self.records[i].file_name)
+        img = cv2.imread(path, cv2.IMREAD_COLOR)
+        if img is None:
+            raise FileNotFoundError(path)
+        return cv2.cvtColor(img, cv2.COLOR_BGR2RGB)

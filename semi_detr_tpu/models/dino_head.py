@@ -165,6 +165,70 @@ class DINODetector(nn.Module):
         shapes = tuple((int(s.shape[1]), int(s.shape[2])) for s in srcs)
         return srcs, shapes
 
+    def encode_images(self, images, img_hw, features=None):
+        """Backbone + input projections + encoder + two-stage selection.
+
+        Returns the transformer encode dict (memory, pad_mask, valid_ratios,
+        matching tgt/refpoints, encoder interim outputs) plus
+        'spatial_shapes' (static) and 'srcs' (projected feature maps, for
+        RoIAlign consumers). `features` lets callers reuse precomputed
+        backbone outputs.
+        """
+        c = self.cfg
+        if features is None:
+            srcs, shapes = self.features(images)
+        else:
+            srcs, shapes = features
+        vmasks = level_valid_masks(
+            shapes, (images.shape[1], images.shape[2]), img_hw)
+        enc = self.transformer.encode(
+            srcs, vmasks, shapes,
+            fc_enc_reg=self.fc_enc_reg, fc_enc_cls=self.fc_enc_cls)
+        enc["spatial_shapes"] = shapes
+        enc["srcs"] = srcs
+        return enc
+
+    def decode_queries(self, enc, extra_tgt=None, extra_ref_unsig=None,
+                       attn_mask=None, cdn: Optional[CdnBatch] = None):
+        """Decoder over [front blocks | matching queries].
+
+        extra_tgt/extra_ref_unsig: (B, n_front, C)/(B, n_front, 4) prepended
+        query blocks (CDN and/or consistency). Returns the standard output
+        dict (cls/coord per decoder layer split into matching and front
+        blocks, encoder interim outputs, hs).
+        """
+        tgt, refpoint_unsig = enc["tgt"], enc["refpoint_unsig"]
+        n_front = 0
+        if extra_tgt is not None:
+            n_front = extra_tgt.shape[1]
+            tgt = jnp.concatenate([extra_tgt, tgt], 1)
+            refpoint_unsig = jnp.concatenate(
+                [extra_ref_unsig, refpoint_unsig], 1)
+
+        hs, refs = self.transformer.decode(
+            enc["memory"], enc["pad_mask"], enc["valid_ratios"],
+            enc["spatial_shapes"], tgt, refpoint_unsig, attn_mask,
+            self.fc_reg)
+
+        all_cls = self.fc_cls(hs)                        # (n_dec, B, nq_t, K)
+        all_coord = jax.nn.sigmoid(
+            self.fc_reg(hs) + inverse_sigmoid(refs[:-1]))
+
+        out = {
+            "cls": all_cls[:, :, n_front:],
+            "coord": all_coord[:, :, n_front:],
+            "enc_cls": enc["enc_out_class"],
+            "enc_coord": enc["enc_out_coord"],
+            "hs": hs,
+            "n_front": n_front,
+        }
+        if n_front:
+            out["front_cls"] = all_cls[:, :, :n_front]
+            out["front_coord"] = all_coord[:, :, :n_front]
+        if cdn is not None:
+            out["cdn"] = cdn
+        return out
+
     def __call__(self, images, img_hw, gt=None, dn_rng=None,
                  extra_queries=None):
         """Full forward.
@@ -175,25 +239,21 @@ class DINODetector(nn.Module):
             valid (B,G)) — enables CDN.
           dn_rng: PRNG key for CDN noise (required with gt).
           extra_queries: optional dict(content (B,Q1,C), bbox_unsig (B,Q1,4),
-            attn_mask (T,T) bool True=blocked, sizes (pad1,)) — prepended
-            consistency queries for SSOD (replaces gt-driven mask).
+            attn_mask (T,T) bool True=blocked, optional cdn) — prepended
+            front queries for SSOD (replaces gt-driven CDN construction).
 
         Returns dict with per-decoder-layer class/coord for the matching
         block, the dn block, encoder interim outputs, and cdn metadata.
         """
         c = self.cfg
-        srcs, shapes = self.features(images)
-        vmasks = level_valid_masks(
-            shapes, (images.shape[1], images.shape[2]), img_hw)
+        enc = self.encode_images(images, img_hw)
 
         cdn: Optional[CdnBatch] = None
         dn_tgt = dn_ref = attn_mask = None
-        n_front = 0
         if extra_queries is not None:
             dn_tgt = extra_queries["content"]
             dn_ref = extra_queries["bbox_unsig"]
             attn_mask = extra_queries["attn_mask"]
-            n_front = dn_tgt.shape[1]
             cdn = extra_queries.get("cdn")
         elif gt is not None:
             cdn = build_cdn_queries(
@@ -203,32 +263,8 @@ class DINODetector(nn.Module):
             dn_tgt, dn_ref = cdn.query_label, cdn.query_bbox
             attn_mask = cdn_attn_mask(c.dn_single_pad, c.dn_groups,
                                       c.num_queries)
-            n_front = c.dn_pad_size
 
-        t = self.transformer(
-            srcs, vmasks, shapes, dn_refpoint_unsig=dn_ref, dn_tgt=dn_tgt,
-            attn_mask=attn_mask, fc_reg=self.fc_reg, fc_cls=self.fc_cls,
-            fc_enc_reg=self.fc_enc_reg, fc_enc_cls=self.fc_enc_cls)
-
-        hs, refs = t["hs"], t["refs"]
-        all_cls = self.fc_cls(hs)                        # (n_dec, B, nq_t, K)
-        all_coord = jax.nn.sigmoid(
-            self.fc_reg(hs) + inverse_sigmoid(refs[:-1]))
-
-        out = {
-            "cls": all_cls[:, :, n_front:],
-            "coord": all_coord[:, :, n_front:],
-            "enc_cls": t["enc_out_class"],
-            "enc_coord": t["enc_out_coord"],
-            "hs": hs,
-            "n_front": n_front,
-        }
-        if n_front:
-            out["front_cls"] = all_cls[:, :, :n_front]
-            out["front_coord"] = all_coord[:, :, :n_front]
-        if cdn is not None:
-            out["cdn"] = cdn
-        return out
+        return self.decode_queries(enc, dn_tgt, dn_ref, attn_mask, cdn)
 
     def forward_features_only(self, images):
         return self.features(images)

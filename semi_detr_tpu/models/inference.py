@@ -1,0 +1,149 @@
+"""Test-time decode + batched evaluation loop (teacher AND student).
+
+Behavior parity with the reference eval path (SURVEY.md §3.4):
+* post-warm-up decode = top-300 of the flattened (query x class) sigmoid
+  scores (`dino_detr_ssod_head.py:1400-1412`);
+* warm-up / pseudo-label decode = multiclass NMS (score_thr .01, iou .6,
+  max 300) (`:1368-1399`) — selected by `curr_step` exactly like
+  `tools/test.py:235-241` parses the checkpoint iteration;
+* boxes are scaled by the valid image extent and rescaled to original
+  image coordinates (rescale=True semantics);
+* `SubModulesDistEvalHook` parity: `evaluate` runs BOTH the teacher and
+  the student params over the same loader
+  (`submodules_evaluation.py:71-101`).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, Iterable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import boxes as box_ops
+from ..ops.nms import multiclass_nms
+from .dino_head import DINODetector
+
+
+@partial(jax.jit, static_argnames=("max_dets",))
+def decode_topk(cls_logits, coords, img_hw, max_dets: int = 300):
+    """Top-k over flattened query x class scores; one image per row.
+
+    cls_logits (B, nq, K); coords (B, nq, 4) normalized cxcywh.
+    Returns boxes (B, D, 4) xyxy ABS (valid-extent coords), scores, labels.
+    """
+    b, nq, k = cls_logits.shape
+
+    def per_image(logits, coord, hw):
+        scores = jax.nn.sigmoid(logits).reshape(-1)
+        top_s, top_i = jax.lax.top_k(scores, max_dets)
+        q = top_i // k
+        lbl = (top_i % k).astype(jnp.int32)
+        wh = jnp.asarray([hw[1], hw[0], hw[1], hw[0]], jnp.float32)
+        bx = box_ops.cxcywh_to_xyxy(coord[q]) * wh
+        bx = jnp.stack([
+            jnp.clip(bx[:, 0], 0, hw[1]), jnp.clip(bx[:, 1], 0, hw[0]),
+            jnp.clip(bx[:, 2], 0, hw[1]), jnp.clip(bx[:, 3], 0, hw[0]),
+        ], -1)
+        return bx, top_s, lbl
+
+    return jax.vmap(per_image)(cls_logits, coords,
+                               img_hw.astype(jnp.float32))
+
+
+@partial(jax.jit, static_argnames=("max_dets",))
+def decode_nms(cls_logits, coords, img_hw, max_dets: int = 300):
+    """Warm-up / pseudo-label decode: multiclass NMS path."""
+    def per_image(logits, coord, hw):
+        scores = jax.nn.sigmoid(logits)
+        boxes = jnp.clip(box_ops.cxcywh_to_xyxy(coord), 0.0, 1.0)
+        nms = multiclass_nms(boxes, scores, 0.01, 0.6, max_dets, 2000)
+        wh = jnp.asarray([hw[1], hw[0], hw[1], hw[0]], jnp.float32)
+        s = jnp.where(nms["valid"], nms["scores"], 0.0)
+        return nms["boxes"] * wh, s, nms["labels"]
+
+    return jax.vmap(per_image)(cls_logits, coords,
+                               img_hw.astype(jnp.float32))
+
+
+def make_predict_fn(detector: DINODetector, use_nms: bool = False,
+                    max_dets: int = 300):
+    """Returns jitted predict(variables, images, img_hw) ->
+    (boxes, scores, labels)."""
+
+    @jax.jit
+    def predict(variables, images, img_hw):
+        out = detector.apply(variables, images, img_hw)
+        cls, coord = out["cls"][-1], out["coord"][-1]
+        if use_nms:
+            return decode_nms(cls, coord, img_hw, max_dets)
+        return decode_topk(cls, coord, img_hw, max_dets)
+
+    return predict
+
+
+def run_eval(predict_fn, variables, batches: Iterable[Dict],
+             score_thr: float = 0.0) -> Dict[int, Tuple]:
+    """Run inference over batches (from data.pipeline.make_test_batch) and
+    return {image_id: (boxes_orig_xyxy, scores, labels)} rescaled to the
+    ORIGINAL image frame (rescale=True)."""
+    results = {}
+    for batch in batches:
+        boxes, scores, labels = jax.device_get(predict_fn(
+            variables, batch["images"], batch["img_hw"]))
+        sf = batch["scale_factors"]
+        for i, img_id in enumerate(batch["image_ids"]):
+            keep = scores[i] > score_thr
+            results[int(img_id)] = (
+                boxes[i][keep] / sf[i], scores[i][keep], labels[i][keep])
+    return results
+
+
+def evaluate_detector(detector: DINODetector, variables, dataset,
+                      batch_size: int = 4, use_nms: bool = False,
+                      bucket=(800, 1344), num_classes: int = 80,
+                      class_names=None) -> Dict[str, float]:
+    """Full COCO-mAP eval of one parameter set over a CocoDataset."""
+    from ..data.coco_eval import coco_map
+    from ..data.pipeline import make_test_batch
+
+    predict = make_predict_fn(detector, use_nms)
+
+    def batches():
+        n = len(dataset)
+        for s in range(0, n, batch_size):
+            idx = list(range(s, min(s + batch_size, n)))
+            idx = idx + [idx[-1]] * (batch_size - len(idx))  # static batch
+            yield make_test_batch(dataset, idx, bucket)
+
+    dets = run_eval(predict, variables, batches())
+    gts = {}
+    for rec in dataset.records:
+        ig = np.zeros(len(rec.boxes), bool)
+        if len(rec.boxes_ignore):
+            boxes = np.concatenate([rec.boxes, rec.boxes_ignore])
+            labels = np.concatenate([rec.labels, rec.labels_ignore])
+            ig = np.concatenate(
+                [ig, np.ones(len(rec.boxes_ignore), bool)])
+        else:
+            boxes, labels = rec.boxes, rec.labels
+        gts[rec.id] = (boxes, labels, ig)
+    return coco_map(dets, gts, num_classes, class_names)
+
+
+def evaluate_teacher_and_student(detector: DINODetector, state, dataset,
+                                 **kw) -> Dict[str, Dict[str, float]]:
+    """SubModulesDistEvalHook parity: evaluate both EMA teacher and
+    student."""
+    det_params = (state.params["detector"]
+                  if isinstance(state.params, dict)
+                  and "detector" in state.params else state.params)
+    out = {"student": evaluate_detector(
+        detector, {"params": det_params,
+                   "batch_stats": state.batch_stats}, dataset, **kw)}
+    if state.teacher_params is not None:
+        out["teacher"] = evaluate_detector(
+            detector, {"params": state.teacher_params,
+                       "batch_stats": state.batch_stats}, dataset, **kw)
+    return out

@@ -307,20 +307,18 @@ class DINOTransformer(nn.Module):
         self.decoder_norm = nn.LayerNorm()
         self.ref_point_head = Mlp(self.d_model, self.d_model, 2)
 
-    def __call__(self, srcs, valid_masks, spatial_shapes,
-                 dn_refpoint_unsig=None, dn_tgt=None, attn_mask=None,
-                 fc_reg=None, fc_cls=None, fc_enc_reg=None, fc_enc_cls=None):
-        """Args:
+    def encode(self, srcs, valid_masks, spatial_shapes,
+               fc_enc_reg=None, fc_enc_cls=None):
+        """Flatten + 6-layer deformable encoder + two-stage top-k selection.
+
+        Args:
           srcs: list of (B, H_l, W_l, C) projected features.
           valid_masks: list of (B, H_l, W_l) bool, True = valid.
           spatial_shapes: static ((H, W), ...) per level.
-          dn_refpoint_unsig: (B, n_dn, 4) unsigmoided CDN boxes or None.
-          dn_tgt: (B, n_dn, C) CDN content queries or None.
-          attn_mask: (n_dn+nq, n_dn+nq) bool, True = blocked, or None.
 
-        Returns dict: hs (n_dec, B, nq_t, C), refs (n_dec+1, B, nq_t, 4)
-          sigmoided, memory (B, S, C), enc_out_class (B, topk, #cls),
-          enc_out_coord (B, topk, 4) sigmoided, init_box_proposal.
+        Returns dict: memory (B, S, C), pad_mask (B, S) True=PAD,
+          valid_ratios (B, L, 2), matching query init (tgt (B,nq,C),
+          refpoint_unsig (B,nq,4) detached), encoder interim outputs.
         """
         B = srcs[0].shape[0]
         src_flat = jnp.concatenate(
@@ -372,17 +370,33 @@ class DINOTransformer(nn.Module):
         tgt = jnp.broadcast_to(self.tgt_embed[None],
                                (B, self.num_queries, self.d_model))
 
-        if dn_refpoint_unsig is not None:
-            refpoint_unsig = jnp.concatenate(
-                [dn_refpoint_unsig, refpoint_unsig], 1)
-            tgt = jnp.concatenate([dn_tgt, tgt], 1)
+        return {
+            "memory": memory,
+            "pad_mask": pad_mask,
+            "valid_ratios": vr,
+            "tgt": tgt,
+            "refpoint_unsig": refpoint_unsig,
+            "enc_out_class": fc_enc_cls(tgt_undetach),
+            "enc_out_coord": jax.nn.sigmoid(ref_undetach),
+            "init_box_proposal": init_box_proposal,
+        }
 
-        # ---------------- decoder
+    def decode(self, memory, pad_mask, valid_ratios, spatial_shapes,
+               tgt, refpoint_unsig, attn_mask=None, fc_reg=None):
+        """6-layer decoder with detached iterative box refinement.
+
+        tgt: (B, nq_t, C) content queries (front blocks + matching).
+        refpoint_unsig: (B, nq_t, 4) unsigmoided reference boxes.
+        attn_mask: (nq_t, nq_t) bool True=blocked, or None.
+
+        Returns (hs (n_dec, B, nq_t, C) normed, refs (n_dec+1, B, nq_t, 4)
+        sigmoided).
+        """
         output = tgt
         reference = jax.nn.sigmoid(refpoint_unsig)
         refs = [reference]
         hs = []
-        vr4 = jnp.concatenate([vr, vr], -1)                    # (B, L, 4)
+        vr4 = jnp.concatenate([valid_ratios, valid_ratios], -1)  # (B, L, 4)
         for lid, layer in enumerate(self.decoder_layers):
             ref_input = reference[:, :, None] * vr4[:, None]   # (B,nq,L,4)
             qse = sine_embed(ref_input[:, :, 0, :], self.d_model // 2)
@@ -394,12 +408,30 @@ class DINOTransformer(nn.Module):
             reference = jax.lax.stop_gradient(new_ref)
             refs.append(new_ref)
             hs.append(self.decoder_norm(output))
+        return jnp.stack(hs), jnp.stack(refs)
 
+    def __call__(self, srcs, valid_masks, spatial_shapes,
+                 dn_refpoint_unsig=None, dn_tgt=None, attn_mask=None,
+                 fc_reg=None, fc_cls=None, fc_enc_reg=None, fc_enc_cls=None):
+        """encode + (optional CDN prepend) + decode. Returns dict: hs
+        (n_dec, B, nq_t, C), refs (n_dec+1, B, nq_t, 4) sigmoided, memory,
+        enc_out_class (B, nq, #cls), enc_out_coord, init_box_proposal."""
+        enc = self.encode(srcs, valid_masks, spatial_shapes,
+                          fc_enc_reg=fc_enc_reg, fc_enc_cls=fc_enc_cls)
+        tgt, refpoint_unsig = enc["tgt"], enc["refpoint_unsig"]
+        if dn_refpoint_unsig is not None:
+            refpoint_unsig = jnp.concatenate(
+                [dn_refpoint_unsig, refpoint_unsig], 1)
+            tgt = jnp.concatenate([dn_tgt, tgt], 1)
+
+        hs, refs = self.decode(enc["memory"], enc["pad_mask"],
+                               enc["valid_ratios"], spatial_shapes,
+                               tgt, refpoint_unsig, attn_mask, fc_reg)
         return {
-            "hs": jnp.stack(hs),                 # (n_dec, B, nq_t, C)
-            "refs": jnp.stack(refs),             # (n_dec+1, B, nq_t, 4)
-            "memory": memory,
-            "enc_out_class": fc_enc_cls(tgt_undetach),
-            "enc_out_coord": jax.nn.sigmoid(ref_undetach),
-            "init_box_proposal": init_box_proposal,
+            "hs": hs,
+            "refs": refs,
+            "memory": enc["memory"],
+            "enc_out_class": enc["enc_out_class"],
+            "enc_out_coord": enc["enc_out_coord"],
+            "init_box_proposal": enc["init_box_proposal"],
         }

@@ -1,0 +1,57 @@
+"""Device mesh + sharding helpers — the TPU-native replacement for DDP.
+
+The reference's only parallelism is data parallelism over NCCL
+(`MMDistributedDataParallel`, `detr_ssod/apis/train.py:84-93`; collectives
+inventoried in SURVEY.md §2.5). The TPU-native design is a 1-D `data` mesh
+over ICI with ONE jitted global-view train step:
+
+* batches are global arrays sharded on axis 0 (`P('data')`);
+* params/optimizer state are replicated — XLA inserts the grad all-reduce
+  that DDP performs explicitly;
+* the reference's `reduce_mean` of loss avg-factors and its variable-size
+  `concat_all_gather` of GMM costs (`dist_utils.py:4-46`) both disappear:
+  in global view, sums over the batch axis ARE the cross-device reductions,
+  and the GMM cost pool is simply the (fixed-capacity, masked) global array.
+
+Scaling beyond data parallelism (absent in the reference, SURVEY.md §2.5)
+is expressed by adding axes to the same mesh — `make_mesh((dp, mp))` — and
+threading `P('data')`/`P('model')` shardings through `shard` params below.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(shape: Optional[Sequence[int]] = None,
+              axis_names: Sequence[str] = ("data",),
+              devices=None) -> Mesh:
+    """Create a device mesh. Default: all devices on one 'data' axis."""
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    if shape is None:
+        shape = (devices.size,)
+    return Mesh(devices.reshape(shape), axis_names)
+
+
+def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
+    return NamedSharding(mesh, P(axis))
+
+
+def replicate(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch, mesh: Mesh, axis: str = "data"):
+    """Device-put a host batch pytree as global arrays sharded on axis 0."""
+    s = batch_sharding(mesh, axis)
+    return jax.tree.map(lambda x: jax.device_put(x, s), batch)
+
+
+def with_batch_constraint(tree, mesh: Mesh, axis: str = "data"):
+    """Annotate intermediate activations as batch-sharded inside jit."""
+    s = NamedSharding(mesh, P(axis))
+    return jax.tree.map(
+        lambda x: jax.lax.with_sharding_constraint(x, s), tree)

@@ -1,0 +1,243 @@
+"""Training loops — supervised and semi-supervised drivers.
+
+The TPU-native analog of the reference runner stack (SURVEY.md §3.1:
+IterBasedRunner + hooks). Hook behavior is inlined into a plain loop:
+* EMA update + step record live INSIDE the jitted train step;
+* eval every `eval_interval` on teacher AND student
+  (SubModulesDistEvalHook), checkpoint every `ckpt_interval` keep-5,
+  text/TB logging, weight summary at start;
+* the warm-up -> main stage flip recompiles the step once at the boundary
+  (the reference flips `in_warm_up` at runtime,
+  `dino_detr_ssod.py:357-360`).
+"""
+from __future__ import annotations
+
+import time
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..data.pipeline import (DEFAULT_BUCKETS, make_sup_batch,
+                             make_unsup_batch)
+from ..data.sampler import SemiBalanceSampler
+from ..models.dino_head import DinoConfig, DINODetector
+from ..models.inference import evaluate_teacher_and_student
+from ..models.ssod import Projector, SsodConfig
+from ..parallel import make_mesh, shard_batch
+from ..utils.logging import MetricsLogger, weight_summary
+from . import optim
+from .checkpoint import CheckpointManager
+from .ssod import init_ssod_state, make_ssod_train_step
+from .state import TrainState
+from .supervised import make_supervised_train_step
+
+
+def _pad_indices(idx, n):
+    idx = list(idx)
+    while len(idx) < n:
+        idx.append(idx[-1] if idx else 0)
+    return idx[:n]
+
+
+class SsodTrainer:
+    """Semi-supervised trainer: COCO-partial 120k-style recipe."""
+
+    def __init__(self, cfg: SsodConfig, sup_dataset, unsup_dataset,
+                 val_dataset=None, work_dir: str = "work_dir",
+                 total_steps: int = 120000,
+                 lr: float = 1e-4, lr_boundaries=(110000,),
+                 samples_per_batch: int = 5, sample_ratio=(1, 4),
+                 eval_interval: int = 4000, ckpt_interval: int = 4000,
+                 bucket=(800, 1344), scales=None, seed: int = 0,
+                 use_mesh: bool = True):
+        self.cfg = cfg
+        self.scales = scales
+        self.sup_dataset = sup_dataset
+        self.unsup_dataset = unsup_dataset
+        self.val_dataset = val_dataset
+        self.total_steps = total_steps
+        self.eval_interval = eval_interval
+        self.bucket = bucket
+        self.seed = seed
+        self.samples_per_batch = samples_per_batch
+        self.sample_ratio = sample_ratio
+
+        self.detector = DINODetector(cfg.dino)
+        self.projector = Projector(cfg.dino.d_model)
+        self.mesh = make_mesh() if use_mesh else None
+
+        rng = jax.random.PRNGKey(seed)
+        h, w = bucket
+        sample = jnp.zeros((1, h, w, 3), jnp.float32)
+        hw = jnp.asarray([[h, w]], jnp.int32)
+        state = init_ssod_state(self.detector, self.projector,
+                                optax.identity(), cfg, rng, sample, hw)
+        self.tx = optim.make_optimizer(state.params, base_lr=lr,
+                                       lr_boundaries=lr_boundaries)
+        self.state = state.replace(opt_state=self.tx.init(state.params))
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            self.state = jax.device_put(
+                self.state, NamedSharding(self.mesh, P()))
+
+        self.logger = MetricsLogger(work_dir)
+        self.ckpt = CheckpointManager(work_dir + "/ckpt",
+                                      interval=ckpt_interval)
+        self._steps = {}
+
+    def _get_step(self, warm_up: bool):
+        if warm_up not in self._steps:
+            self._steps[warm_up] = make_ssod_train_step(
+                self.detector, self.projector, self.tx, self.cfg,
+                warm_up=warm_up, mesh=self.mesh)
+        return self._steps[warm_up]
+
+    def batches(self, start_step: int = 0):
+        r_sup, r_unsup = self.sample_ratio
+        scale = self.samples_per_batch / (r_sup + r_unsup)
+        n_sup = max(int(round(r_sup * scale)), 1)
+        n_unsup = self.samples_per_batch - n_sup
+        sampler = SemiBalanceSampler(
+            len(self.sup_dataset), len(self.unsup_dataset),
+            self.sup_dataset.flags, self.unsup_dataset.flags,
+            self.samples_per_batch, (n_sup, n_unsup),
+            epoch_length=10 ** 9, seed=self.seed)
+        rng = np.random.default_rng(self.seed + 7)
+        for step, (sup_idx, unsup_idx) in enumerate(sampler.epoch(0)):
+            if step < start_step:
+                continue
+            sup = make_sup_batch(rng, self.sup_dataset,
+                                 _pad_indices(sup_idx, n_sup), self.bucket,
+                                 self.cfg.dino.max_gt, scales=self.scales)
+            unsup = make_unsup_batch(rng, self.unsup_dataset,
+                                     _pad_indices(unsup_idx, n_unsup),
+                                     self.bucket, self.cfg.dino.max_gt,
+                                     scales=self.scales)
+            sup.pop("image_ids", None)
+            unsup.pop("image_ids", None)
+            yield {"sup": sup, "unsup": unsup}
+
+    def resume(self):
+        if self.ckpt.latest_step() is not None:
+            self.state = self.ckpt.restore(self.state)
+            self.logger.logger.info(
+                f"resumed from step {int(self.state.step)}")
+
+    def train(self, max_steps: Optional[int] = None):
+        self.logger.logger.info(
+            weight_summary(self.state.params).split("TOTAL")[-1])
+        rng = jax.random.PRNGKey(self.seed + 13)
+        total = min(self.total_steps, max_steps or self.total_steps)
+        for batch in self.batches(start_step=int(self.state.step)):
+            step = int(self.state.step)
+            if step >= total:
+                break
+            warm_up = step < self.cfg.warm_up_step
+            if self.mesh is not None:
+                batch = shard_batch(batch, self.mesh)
+            step_fn = self._get_step(warm_up)
+            self.state, metrics = step_fn(self.state, batch, rng)
+            self.logger.log_step(step, metrics)
+            self.ckpt.maybe_save(self.state)
+            if (self.val_dataset is not None and step > 0
+                    and step % self.eval_interval == 0):
+                self.evaluate(step, warm_up)
+        self.ckpt.maybe_save(self.state, force=True)
+        return self.state
+
+    def evaluate(self, step: int, warm_up: bool):
+        results = evaluate_teacher_and_student(
+            self.detector, self.state, self.val_dataset,
+            use_nms=warm_up, num_classes=self.cfg.dino.num_classes)
+        for tag, res in results.items():
+            self.logger.log_eval(step, res, tag)
+        return results
+
+
+class SupervisedTrainer:
+    """Supervised DINO trainer (12-epoch recipe or SSOD-head variant)."""
+
+    def __init__(self, cfg: DinoConfig, dataset, val_dataset=None,
+                 work_dir: str = "work_dir_sup", total_steps: int = 90000,
+                 batch_size: int = 16, lr: float = 1e-4,
+                 lr_boundaries=(82500,), warm_up_step: int = 0,
+                 eval_interval: int = 4000, ckpt_interval: int = 4000,
+                 bucket=(800, 1344), scales=None, seed: int = 0,
+                 use_mesh: bool = True, with_teacher: bool = False):
+        self.cfg = cfg
+        self.scales = scales
+        self.dataset = dataset
+        self.val_dataset = val_dataset
+        self.total_steps = total_steps
+        self.batch_size = batch_size
+        self.warm_up_step = warm_up_step
+        self.eval_interval = eval_interval
+        self.bucket = bucket
+        self.seed = seed
+
+        self.detector = DINODetector(cfg)
+        self.mesh = make_mesh() if use_mesh else None
+
+        rng = jax.random.PRNGKey(seed)
+        h, w = bucket
+        variables = self.detector.init(
+            {"params": rng}, jnp.zeros((1, h, w, 3)),
+            jnp.asarray([[h, w]], jnp.int32))
+        self.tx = optim.make_optimizer(variables["params"], base_lr=lr,
+                                       lr_boundaries=lr_boundaries)
+        self.state = TrainState.create(variables, self.tx,
+                                       with_teacher=with_teacher)
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            self.state = jax.device_put(
+                self.state, NamedSharding(self.mesh, P()))
+        self.logger = MetricsLogger(work_dir)
+        self.ckpt = CheckpointManager(work_dir + "/ckpt",
+                                      interval=ckpt_interval)
+        self._steps = {}
+
+    def _get_step(self, warm_up: bool):
+        if warm_up not in self._steps:
+            self._steps[warm_up] = make_supervised_train_step(
+                self.detector, self.tx, warm_up=warm_up, mesh=self.mesh)
+        return self._steps[warm_up]
+
+    def train(self, max_steps: Optional[int] = None):
+        rng = jax.random.PRNGKey(self.seed + 13)
+        data_rng = np.random.default_rng(self.seed + 7)
+        order_rng = np.random.default_rng(self.seed)
+        n = len(self.dataset)
+        perm = order_rng.permutation(n)
+        cursor = 0
+        total = min(self.total_steps, max_steps or self.total_steps)
+        while int(self.state.step) < total:
+            step = int(self.state.step)
+            idx = []
+            for _ in range(self.batch_size):
+                if cursor >= n:
+                    perm = order_rng.permutation(n)
+                    cursor = 0
+                idx.append(int(perm[cursor]))
+                cursor += 1
+            batch = make_sup_batch(data_rng, self.dataset, idx, self.bucket,
+                                   self.cfg.max_gt, scales=self.scales)
+            batch.pop("image_ids", None)
+            if self.mesh is not None:
+                batch = shard_batch(batch, self.mesh)
+            warm_up = step < self.warm_up_step
+            self.state, metrics = self._get_step(warm_up)(
+                self.state, batch, rng)
+            self.logger.log_step(step, metrics)
+            self.ckpt.maybe_save(self.state)
+            if (self.val_dataset is not None and step > 0
+                    and step % self.eval_interval == 0):
+                results = evaluate_teacher_and_student(
+                    self.detector, self.state, self.val_dataset,
+                    use_nms=warm_up, num_classes=self.cfg.num_classes)
+                for tag, res in results.items():
+                    self.logger.log_eval(step, res, tag)
+        self.ckpt.maybe_save(self.state, force=True)
+        return self.state

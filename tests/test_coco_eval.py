@@ -1,0 +1,93 @@
+"""COCO mAP evaluator tests: hand-checkable scenarios."""
+import numpy as np
+
+from semi_detr_tpu.data.coco_eval import box_iou_xyxy, coco_map
+
+
+def _det(boxes, scores, labels):
+    return (np.asarray(boxes, np.float32).reshape(-1, 4),
+            np.asarray(scores, np.float32),
+            np.asarray(labels, np.int64))
+
+
+def _gt(boxes, labels, ignore=None):
+    boxes = np.asarray(boxes, np.float32).reshape(-1, 4)
+    labels = np.asarray(labels, np.int64)
+    ig = (np.zeros(len(boxes), bool) if ignore is None
+          else np.asarray(ignore, bool))
+    return boxes, labels, ig
+
+
+def test_iou_basic():
+    a = np.asarray([[0, 0, 10, 10]], np.float32)
+    b = np.asarray([[0, 0, 10, 10], [5, 5, 15, 15], [20, 20, 30, 30]],
+                   np.float32)
+    iou = box_iou_xyxy(a, b)[0]
+    assert abs(iou[0] - 1.0) < 1e-6
+    assert abs(iou[1] - 25 / 175) < 1e-6
+    assert iou[2] == 0
+
+
+def test_perfect_detection_gives_ap_1():
+    gt = {1: _gt([[10, 10, 50, 50]], [0])}
+    det = {1: _det([[10, 10, 50, 50]], [0.9], [0])}
+    res = coco_map(det, gt, num_classes=1)
+    assert abs(res["mAP"] - 1.0) < 1e-6
+    assert abs(res["mAP_50"] - 1.0) < 1e-6
+
+
+def test_miss_gives_ap_0():
+    gt = {1: _gt([[10, 10, 50, 50]], [0])}
+    det = {1: _det([[200, 200, 240, 240]], [0.9], [0])}
+    res = coco_map(det, gt, num_classes=1)
+    assert res["mAP"] == 0.0
+
+
+def test_half_precision():
+    # 2 GTs, 1 matched at all IoU thrs + 1 FP with lower score:
+    # precision at recall .5 is 1.0, recall never reaches 1 -> AP ~ 0.5
+    gt = {1: _gt([[0, 0, 10, 10], [100, 100, 140, 140]], [0, 0])}
+    det = {1: _det([[0, 0, 10, 10], [300, 300, 340, 340]], [0.9, 0.8],
+                   [0, 0])}
+    res = coco_map(det, gt, num_classes=1)
+    assert abs(res["mAP_50"] - 0.5) < 0.02
+
+
+def test_ignore_regions_not_counted():
+    # detection on an ignore GT: neither TP nor FP
+    gt = {1: _gt([[0, 0, 10, 10], [100, 100, 140, 140]], [0, 0],
+                 [False, True])}
+    det = {1: _det([[0, 0, 10, 10], [100, 100, 140, 140]], [0.9, 0.8],
+                   [0, 0])}
+    res = coco_map(det, gt, num_classes=1)
+    assert abs(res["mAP"] - 1.0) < 1e-6
+
+
+def test_localization_quality_spread():
+    # IoU 0.6 match: counts at thr .5/.55/.6 only -> mAP ~ 3/10
+    # box [0,0,10,6] vs [0,0,10,10]: iou = 60/100 = 0.6
+    gt = {1: _gt([[0, 0, 10, 10]], [0])}
+    det = {1: _det([[0, 0, 10, 6]], [0.9], [0])}
+    res = coco_map(det, gt, num_classes=1)
+    assert abs(res["mAP_50"] - 1.0) < 1e-6
+    assert abs(res["mAP"] - 0.3) < 0.02
+    assert res["mAP_75"] == 0.0
+
+
+def test_multiclass_and_missing_class():
+    gt = {1: _gt([[0, 0, 10, 10]], [0]), 2: _gt([[0, 0, 20, 20]], [1])}
+    det = {1: _det([[0, 0, 10, 10]], [0.9], [0]),
+           2: _det([[0, 0, 20, 20]], [0.9], [1])}
+    res = coco_map(det, gt, num_classes=3,
+                   class_names=["a", "b", "c"])
+    assert abs(res["mAP"] - 1.0) < 1e-6  # class c has no GT -> excluded
+    assert res["AP_per_class"]["c"] is None
+
+
+def test_area_ranges():
+    # small gt (16 area), large gt (200x200)
+    gt = {1: _gt([[0, 0, 4, 4], [0, 0, 200, 200]], [0, 0])}
+    det = {1: _det([[0, 0, 4, 4]], [0.9], [0])}
+    res = coco_map(det, gt, num_classes=1)
+    assert abs(res["mAP_s"] - 1.0) < 1e-6
+    assert res["mAP_l"] == 0.0

@@ -1,0 +1,129 @@
+"""Config system, dataset reader, split generator, sampler tests."""
+import json
+import os
+
+import numpy as np
+import pytest
+
+from semi_detr_tpu.data.coco import CocoDataset
+from semi_detr_tpu.data.pipeline import pack, pick_bucket
+from semi_detr_tpu.data.augment import make_sample
+from semi_detr_tpu.data.sampler import SemiBalanceSampler
+from semi_detr_tpu.data.semi_split import split_coco
+from semi_detr_tpu.utils.config import (apply_semi_wrapper, deep_merge,
+                                        load_config, resolve_vars)
+
+
+def _tiny_coco(n_img=6, n_ann_per=2):
+    images, anns = [], []
+    aid = 1
+    for i in range(1, n_img + 1):
+        images.append({"id": i, "file_name": f"{i}.jpg", "width": 100,
+                       "height": 80})
+        for j in range(n_ann_per):
+            anns.append({"id": aid, "image_id": i, "category_id": 1,
+                         "bbox": [10 * j, 10, 20, 20], "area": 400,
+                         "iscrowd": 0})
+            aid += 1
+    return {"images": images, "annotations": anns,
+            "categories": [{"id": 1, "name": "person"}]}
+
+
+def test_coco_dataset_loading():
+    ds = CocoDataset(_tiny_coco(), classes=("person",))
+    assert len(ds) == 6
+    assert ds[0].boxes.shape == (2, 4)
+    assert (ds[0].labels == 0).all()
+    assert ds[0].aspect_flag == 1  # w/h = 100/80 > 1
+
+
+def test_semi_split_deterministic():
+    coco = _tiny_coco(n_img=100)
+    lab1, unl1 = split_coco(coco, percent=10, seed=3)
+    lab2, _ = split_coco(coco, percent=10, seed=3)
+    assert len(lab1["images"]) == 10
+    assert len(unl1["images"]) == 90
+    assert [im["id"] for im in lab1["images"]] == [
+        im["id"] for im in lab2["images"]]
+    assert len(unl1["annotations"]) == 0
+    # labeled annotations belong to labeled images only
+    lab_ids = {im["id"] for im in lab1["images"]}
+    assert all(a["image_id"] in lab_ids for a in lab1["annotations"])
+
+
+def test_sampler_ratio_and_determinism():
+    s = SemiBalanceSampler(10, 40, [0] * 10, [0] * 40,
+                           samples_per_batch=5, sample_ratio=(1, 4),
+                           epoch_length=20, seed=5)
+    batches = list(s.epoch(0))
+    assert len(batches) == 20
+    for sup, unsup in batches:
+        assert len(sup) == 1 and len(unsup) == 4
+        assert sup.max() < 10 and unsup.max() < 40
+    batches2 = list(SemiBalanceSampler(
+        10, 40, [0] * 10, [0] * 40, 5, (1, 4), 20, seed=5).epoch(0))
+    assert all((a[0] == b[0]).all() and (a[1] == b[1]).all()
+               for a, b in zip(batches, batches2))
+
+
+def test_sampler_sharding_partitions_steps():
+    kw = dict(samples_per_batch=5, sample_ratio=(1, 4), epoch_length=8,
+              seed=1)
+    full = list(SemiBalanceSampler(10, 40, [0] * 10, [0] * 40,
+                                   **kw).epoch(0))
+    shard0 = list(SemiBalanceSampler(10, 40, [0] * 10, [0] * 40,
+                                     num_shards=2, shard_id=0,
+                                     **kw).epoch(0))
+    shard1 = list(SemiBalanceSampler(10, 40, [0] * 10, [0] * 40,
+                                     num_shards=2, shard_id=1,
+                                     **kw).epoch(0))
+    assert len(shard0) == 4 and len(shard1) == 4
+    # shards see the same global stream at their steps
+    assert (shard0[0][0] == full[0][0]).all()
+    assert (shard1[0][0] == full[1][0]).all()
+
+
+def test_pack_static_shapes():
+    img = np.zeros((60, 80, 3), np.uint8)
+    s = make_sample(img, [[10, 10, 30, 40]], [2])
+    p = pack(s, (64, 96), max_gt=8)
+    assert p.image.shape == (64, 96, 3)
+    assert p.boxes.shape == (8, 4)
+    assert p.valid.sum() == 1
+    # normalized cxcywh over VALID extent (60, 80)
+    assert np.allclose(p.boxes[0], [20 / 80, 25 / 60, 20 / 80, 30 / 60])
+    assert (p.hw == [60, 80]).all()
+
+
+def test_pick_bucket():
+    assert pick_bucket(500, 600) == (512, 672)
+    assert pick_bucket(800, 1333) == (800, 1344)
+    assert pick_bucket(1333, 800) == (1344, 800)
+
+
+def test_config_merge_vars_and_wrapper(tmp_path):
+    base = tmp_path / "base.py"
+    base.write_text(
+        "model = dict(a=1, b=dict(c=2))\n"
+        "percent = 10\n"
+        "name = 'p${percent}'\n")
+    child = tmp_path / "child.py"
+    child.write_text(
+        "_base_ = ['base.py']\n"
+        "model = dict(b=dict(c=5), d='${model.a}')\n"
+        "semi_wrapper = dict(kind='ssod')\n")
+    cfg = load_config(str(child))
+    assert cfg["model"]["a"] == 1
+    assert cfg["model"]["b"]["c"] == 5
+    assert cfg["model"]["d"] == 1          # value-typed interpolation
+    assert cfg["name"] == "p10"            # string interpolation
+    cfg2 = apply_semi_wrapper(cfg)
+    assert cfg2["model"]["kind"] == "ssod"
+
+
+def test_config_delete_semantics():
+    a = {"x": {"p": 1, "q": 2}, "y": 3}
+    b = {"x": {"_delete_": True, "r": 7}}
+    out = deep_merge(a, b)
+    assert out["x"] == {"r": 7}
+    assert out["y"] == 3

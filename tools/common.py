@@ -1,0 +1,56 @@
+"""Shared CLI plumbing: config -> datasets / model configs."""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from semi_detr_tpu.data.coco import COCO_CLASSES, VOC_CLASSES, CocoDataset
+from semi_detr_tpu.models.dino_head import DinoConfig
+from semi_detr_tpu.models.ssod import SsodConfig
+from semi_detr_tpu.utils.config import load_config, parse_cfg_options
+
+
+def base_parser(desc: str) -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=desc)
+    p.add_argument("config", help="config file path")
+    p.add_argument("--work-dir", default=None)
+    p.add_argument("--resume-from", default=None)
+    p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--max-steps", type=int, default=None)
+    p.add_argument("--cfg-options", nargs="+", default=[],
+                   help="override config entries, key=value (dotted keys)")
+    return p
+
+
+def load_cfg(args) -> dict:
+    cfg = load_config(args.config, parse_cfg_options(args.cfg_options))
+    if args.work_dir:
+        cfg["work_dir"] = args.work_dir
+    if args.seed is not None:
+        cfg["seed"] = args.seed
+    return cfg
+
+
+def class_names(cfg) -> tuple:
+    return VOC_CLASSES if cfg["data"].get("classes") == "voc" \
+        else COCO_CLASSES
+
+
+def dino_config(cfg) -> DinoConfig:
+    m = dict(cfg["model"])
+    m.pop("type", None)
+    return DinoConfig(**m)
+
+
+def ssod_config(cfg) -> SsodConfig:
+    s = dict(cfg.get("ssod", {}))
+    s.pop("type", None)
+    return SsodConfig(dino=dino_config(cfg), **s)
+
+
+def build_dataset(ann, prefix, names, train=True):
+    return CocoDataset(ann, prefix, classes=names,
+                       filter_empty_gt=train, test_mode=not train)

@@ -1,0 +1,65 @@
+"""Evaluation CLI (reference: tools/test.py).
+
+Evaluates a checkpoint on the val set; for SSOD checkpoints inference runs
+on the TEACHER by default (reference forces inference_on='teacher',
+tools/test.py:195-200), and the decode path (NMS vs top-k) follows the
+checkpoint step vs warm_up_step (`:235-241`).
+"""
+from __future__ import annotations
+
+import json
+
+import optax
+
+from common import (base_parser, build_dataset, class_names, load_cfg,
+                    ssod_config)
+
+import jax
+from semi_detr_tpu.models.dino_head import DINODetector
+from semi_detr_tpu.models.inference import evaluate_detector
+from semi_detr_tpu.models.ssod import Projector
+from semi_detr_tpu.train.checkpoint import CheckpointManager
+from semi_detr_tpu.train.ssod import init_ssod_state
+
+
+def main():
+    p = base_parser(__doc__)
+    p.add_argument("--checkpoint", default=None,
+                   help="checkpoint dir (default: work_dir/ckpt)")
+    p.add_argument("--inference-on", default="teacher",
+                   choices=["teacher", "student"])
+    p.add_argument("--out", default=None, help="json results path")
+    args = p.parse_args()
+    cfg = load_cfg(args)
+    names = class_names(cfg)
+
+    scfg = ssod_config(cfg)
+    val = build_dataset(cfg["data"]["val_ann"], cfg["data"]["val_prefix"],
+                        names, train=False)
+    detector = DINODetector(scfg.dino)
+    projector = Projector(scfg.dino.d_model)
+
+    import jax.numpy as jnp
+    template = init_ssod_state(
+        detector, projector, optax.identity(), scfg, jax.random.PRNGKey(0),
+        jnp.zeros((1, 64, 64, 3)), jnp.asarray([[64, 64]], jnp.int32))
+    ckpt = CheckpointManager(args.checkpoint or cfg["work_dir"] + "/ckpt")
+    state = ckpt.restore(template)
+    step = int(state.step)
+    use_nms = step < scfg.warm_up_step
+
+    params = (state.teacher_params if args.inference_on == "teacher"
+              else state.params["detector"])
+    res = evaluate_detector(
+        detector, {"params": params, "batch_stats": state.batch_stats},
+        val, use_nms=use_nms, num_classes=scfg.dino.num_classes,
+        class_names=names)
+    print(json.dumps({k: v for k, v in res.items()
+                      if k != "AP_per_class"}, indent=2))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(res, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()
