@@ -133,9 +133,20 @@ class CocoDataset:
         return np.asarray([r.aspect_flag for r in self.records], np.int64)
 
     def load_image(self, i) -> np.ndarray:
-        """Returns HWC uint8 RGB."""
-        import cv2
+        """Returns HWC uint8 RGB (native C++ decoder, cv2 fallback)."""
         path = os.path.join(self.img_prefix, self.records[i].file_name)
+        from .. import native
+        if native.available():
+            try:
+                with open(path, "rb") as f:
+                    img = native.decode_image(f.read())
+                if img is not None:
+                    return img
+            except FileNotFoundError:
+                raise
+            except Exception:
+                pass
+        import cv2
         img = cv2.imread(path, cv2.IMREAD_COLOR)
         if img is None:
             raise FileNotFoundError(path)

@@ -167,7 +167,7 @@ def transform_pseudo_to_student(pl: PseudoLabels, tmat_teacher,
     `_get_trans_mat`/`_transform_bbox`, :804-811)."""
     m = jnp.einsum("bij,bjk->bik", tmat_student,
                    jnp.linalg.inv(tmat_teacher))
-    boxes_s = box_ops.transform_boxes(pl.boxes_t, m[:, None])
+    boxes_s = box_ops.transform_boxes(pl.boxes_t, m)
     w = student_hw[:, 1:2].astype(jnp.float32)
     h = student_hw[:, 0:1].astype(jnp.float32)
     boxes_s = jnp.stack([

@@ -158,9 +158,10 @@ class MSDeformAttention(nn.Module):
                    + offsets / P
                    * reference_points[:, :, None, :, None, 2:] * 0.5)
 
-        out = ms_deform_attn(value, tuple(spatial_shapes),
-                             loc.astype(jnp.float32),
-                             attn.astype(jnp.float32))
+        from ..ops.ms_deform_attn_pallas import ms_deform_attn_auto
+        out = ms_deform_attn_auto(value, tuple(spatial_shapes),
+                                  loc.astype(jnp.float32),
+                                  attn.astype(jnp.float32))
         return nn.Dense(self.d_model, kernel_init=xavier_uniform,
                         name="output_proj")(out)
 

@@ -66,7 +66,13 @@ class CheckpointManager:
                     np.asarray, raw["teacher_params"]))
             return out
 
+    def wait(self):
+        """Block until async saves complete (call before process exit —
+        orbax's async executor cannot run during interpreter shutdown)."""
+        self.mgr.wait_until_finished()
+
     def close(self):
+        self.mgr.wait_until_finished()
         self.mgr.close()
 
 

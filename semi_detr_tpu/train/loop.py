@@ -67,7 +67,10 @@ class SsodTrainer:
 
         self.detector = DINODetector(cfg.dino)
         self.projector = Projector(cfg.dino.d_model)
-        self.mesh = make_mesh() if use_mesh else None
+        # a 1-device mesh adds sharding machinery for no benefit (and the
+        # axon TPU tunnel mishandles donated/sharded outputs) — plain jit
+        self.mesh = (make_mesh() if use_mesh and len(jax.devices()) > 1
+                     else None)
 
         rng = jax.random.PRNGKey(seed)
         h, w = bucket
@@ -146,6 +149,7 @@ class SsodTrainer:
                     and step % self.eval_interval == 0):
                 self.evaluate(step, warm_up)
         self.ckpt.maybe_save(self.state, force=True)
+        self.ckpt.close()
         return self.state
 
     def evaluate(self, step: int, warm_up: bool):
@@ -179,7 +183,8 @@ class SupervisedTrainer:
         self.seed = seed
 
         self.detector = DINODetector(cfg)
-        self.mesh = make_mesh() if use_mesh else None
+        self.mesh = (make_mesh() if use_mesh and len(jax.devices()) > 1
+                     else None)
 
         rng = jax.random.PRNGKey(seed)
         h, w = bucket
@@ -240,4 +245,5 @@ class SupervisedTrainer:
                 for tag, res in results.items():
                     self.logger.log_eval(step, res, tag)
         self.ckpt.maybe_save(self.state, force=True)
+        self.ckpt.close()
         return self.state

@@ -168,7 +168,7 @@ def _unsup_forward_and_loss(detector: DINODetector, projector: Projector,
 
 def make_ssod_train_step(detector: DINODetector, projector: Projector,
                          tx: optax.GradientTransformation, cfg: SsodConfig,
-                         warm_up: bool, mesh=None, donate: bool = True):
+                         warm_up: bool, mesh=None, donate: bool = False):
     """Returns step(state, batch, rng) -> (state, metrics).
 
     batch = {

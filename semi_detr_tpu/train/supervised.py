@@ -31,7 +31,7 @@ def make_supervised_train_step(model: DINODetector,
                                ema_momentum: float = 0.999,
                                ema_warm: int = 0,
                                mesh=None,
-                               donate: bool = True):
+                               donate: bool = False):
     """Returns step(state, batch, rng) -> (state, metrics).
 
     batch: {images (B,H,W,3) f32, img_hw (B,2) i32,
