@@ -21,7 +21,10 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-_INF = jnp.float32(jnp.inf)
+# python float, not a jnp array: a module-level concrete array would
+# initialize the JAX backend at import time (before callers can pick a
+# platform, e.g. the virtual CPU mesh in dryrun_multichip)
+_INF = float("inf")
 
 
 def _augmenting_path(cost, u, v, row4col, cur_row):

@@ -7,7 +7,7 @@ multi-node code without a cluster.
 """
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -19,3 +19,10 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 os.environ.setdefault(
     "JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1")
+
+# the axon sitecustomize force-registers the TPU tunnel and overwrites
+# jax_platforms at import time (axon/register/pjrt.py:112) — pin CPU at
+# the config level so the suite really runs on the virtual 8-device mesh
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
