@@ -159,12 +159,12 @@ def make_unsup_batch(rng: np.random.Generator, dataset, indices,
 
 
 def make_test_batch(dataset, indices, bucket: Tuple[int, int] = (800, 1344),
-                    max_gt: int = 100) -> Dict:
+                    max_gt: int = 100, scale=None) -> Dict:
     packed = []
     for i in indices:
         rec = dataset[i]
         s = make_sample(dataset.load_image(i), rec.boxes, rec.labels)
-        s = test_resize(s)
+        s = test_resize(s) if scale is None else test_resize(s, scale)
         packed.append(pack(s, bucket, max_gt, rec.id))
     out = _stack(packed)
     out["scale_factors"] = np.asarray(

@@ -102,7 +102,8 @@ def run_eval(predict_fn, variables, batches: Iterable[Dict],
 
 def evaluate_detector(detector: DINODetector, variables, dataset,
                       batch_size: int = 4, use_nms: bool = False,
-                      bucket=(800, 1344), num_classes: int = 80,
+                      bucket=(800, 1344), test_scale=None,
+                      num_classes: int = 80,
                       class_names=None) -> Dict[str, float]:
     """Full COCO-mAP eval of one parameter set over a CocoDataset."""
     from ..data.coco_eval import coco_map
@@ -115,7 +116,7 @@ def evaluate_detector(detector: DINODetector, variables, dataset,
         for s in range(0, n, batch_size):
             idx = list(range(s, min(s + batch_size, n)))
             idx = idx + [idx[-1]] * (batch_size - len(idx))  # static batch
-            yield make_test_batch(dataset, idx, bucket)
+            yield make_test_batch(dataset, idx, bucket, scale=test_scale)
 
     dets = run_eval(predict, variables, batches())
     gts = {}

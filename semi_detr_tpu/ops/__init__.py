@@ -1,1 +1,4 @@
-from .ms_deform_attn import ms_deform_attn  # noqa: F401
+from . import gmm, hungarian, nms, roi_align
+from .ms_deform_attn import ms_deform_attn
+
+__all__ = ["gmm", "hungarian", "nms", "roi_align", "ms_deform_attn"]

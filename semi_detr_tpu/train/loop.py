@@ -153,9 +153,11 @@ class SsodTrainer:
         return self.state
 
     def evaluate(self, step: int, warm_up: bool):
+        test_scale = max(self.scales) if self.scales else None
         results = evaluate_teacher_and_student(
             self.detector, self.state, self.val_dataset,
-            use_nms=warm_up, num_classes=self.cfg.dino.num_classes)
+            use_nms=warm_up, bucket=self.bucket, test_scale=test_scale,
+            num_classes=self.cfg.dino.num_classes)
         for tag, res in results.items():
             self.logger.log_eval(step, res, tag)
         return results
@@ -239,9 +241,12 @@ class SupervisedTrainer:
             self.ckpt.maybe_save(self.state)
             if (self.val_dataset is not None and step > 0
                     and step % self.eval_interval == 0):
+                test_scale = max(self.scales) if self.scales else None
                 results = evaluate_teacher_and_student(
                     self.detector, self.state, self.val_dataset,
-                    use_nms=warm_up, num_classes=self.cfg.num_classes)
+                    use_nms=warm_up, bucket=self.bucket,
+                    test_scale=test_scale,
+                    num_classes=self.cfg.num_classes)
                 for tag, res in results.items():
                     self.logger.log_eval(step, res, tag)
         self.ckpt.maybe_save(self.state, force=True)

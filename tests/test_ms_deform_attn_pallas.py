@@ -44,6 +44,25 @@ def test_out_of_bounds_taps_are_zero():
     np.testing.assert_allclose(np.asarray(got), 0.0, atol=1e-6)
 
 
+def test_pallas_backward_matches_oracle_vjp():
+    from semi_detr_tpu.ops.ms_deform_attn_pallas import \
+        ms_deform_attn_bwd_pallas
+    rs = np.random.RandomState(3)
+    v, loc, aw = _inputs(rs, d=8, lq=16)
+    g = jnp.asarray(rs.randn(1, 16, 2 * 8).astype(np.float32))
+    _, vjp = jax.vjp(lambda v, l, a: ms_deform_attn(v, SHAPES, l, a),
+                     v, loc, aw)
+    dv_ref, dl_ref, da_ref = vjp(g)
+    dv, dl, da = ms_deform_attn_bwd_pallas(v, SHAPES, loc, aw, g,
+                                           interpret=True)
+    np.testing.assert_allclose(np.asarray(dv), np.asarray(dv_ref),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(dl), np.asarray(dl_ref),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(da), np.asarray(da_ref),
+                               rtol=1e-4, atol=1e-5)
+
+
 def test_fused_gradients_match_oracle():
     rs = np.random.RandomState(1)
     v, loc, aw = _inputs(rs, lq=12)

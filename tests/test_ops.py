@@ -160,6 +160,6 @@ def test_multi_level_routing():
     small_l0 = roi_align_level(feats[0], rois[:1], 8)
     big_l3 = roi_align_level(feats[3], rois[1:], 64)
     np.testing.assert_allclose(np.asarray(out[0]), np.asarray(small_l0[0]),
-                               rtol=1e-5)
+                               rtol=1e-3, atol=1e-5)
     np.testing.assert_allclose(np.asarray(out[1]), np.asarray(big_l3[0]),
-                               rtol=1e-5)
+                               rtol=1e-3, atol=1e-5)
