@@ -31,7 +31,7 @@ def draw_boxes(img, boxes, scores, labels, names, score_thr=0.3):
 
 
 def main():
-    from common import base_parser, class_names, load_cfg, ssod_config
+    from common import class_names, load_cfg, ssod_config
     import jax
     import jax.numpy as jnp
     import optax

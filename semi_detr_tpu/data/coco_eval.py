@@ -10,7 +10,7 @@ score-ordered matching with crowd/ignore regions matched but not counted.
 """
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, Optional, Sequence, Tuple
 
 import numpy as np
 

@@ -18,7 +18,7 @@ a new shape every step -> would recompile XLA every iteration). Here:
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Sequence, Tuple
 
 import numpy as np
 

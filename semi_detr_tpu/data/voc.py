@@ -13,7 +13,7 @@ import glob
 import json
 import os
 import xml.etree.ElementTree as ET
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, Optional, Sequence
 
 from .coco import VOC_CLASSES
 

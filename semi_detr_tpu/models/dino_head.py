@@ -24,8 +24,8 @@ index math torch's F.interpolate applies to the image mask
 from __future__ import annotations
 
 import math
-from dataclasses import dataclass, field
-from typing import Any, Optional, Sequence, Tuple
+from dataclasses import dataclass
+from typing import Any, Optional, Tuple
 
 import flax.linen as nn
 import jax
@@ -59,6 +59,7 @@ class DinoConfig:
     dn_box_noise_scale: float = 0.4
     max_gt: int = 100            # GT padding capacity per image
     dtype: Any = jnp.float32     # compute dtype for backbone/transformer
+    remat: bool = False          # jax.checkpoint per transformer layer
 
     @property
     def dn_pad_size(self) -> int:
@@ -138,7 +139,7 @@ class DINODetector(nn.Module):
             num_encoder_layers=c.num_encoder_layers,
             num_decoder_layers=c.num_decoder_layers, d_ffn=c.d_ffn,
             n_levels=c.n_levels, enc_n_points=c.enc_n_points,
-            dec_n_points=c.dec_n_points)
+            dec_n_points=c.dec_n_points, remat=c.remat)
 
         self.fc_cls = ClsHead(c.num_classes)            # shared across layers
         self.fc_reg = Mlp(c.d_model, 4, 3, last_zero_init=True)

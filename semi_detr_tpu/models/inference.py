@@ -15,7 +15,7 @@ Behavior parity with the reference eval path (SURVEY.md §3.4):
 from __future__ import annotations
 
 from functools import partial
-from typing import Any, Dict, Iterable, Optional, Tuple
+from typing import Dict, Iterable, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -31,7 +31,7 @@ BatchNorm uses masked batch statistics over real RoIs only.
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Any, Dict, NamedTuple, Optional, Tuple
+from typing import NamedTuple
 
 import flax.linen as nn
 import jax
@@ -40,13 +40,9 @@ import numpy as np
 
 from ..core import boxes as box_ops
 from ..ops import hungarian
-from ..ops.gmm import fit_gmm_threshold
 from ..ops.nms import multiclass_nms
-from ..ops.roi_align import multi_level_roi_align
 from . import losses
-from .criterion import detection_loss
-from .dino_head import DinoConfig, DINODetector
-from .dn import build_cdn_queries
+from .dino_head import DinoConfig
 from .transformer import inverse_sigmoid, xavier_uniform
 
 

@@ -23,15 +23,13 @@ TPU-first deviations (behavior-preserving):
 from __future__ import annotations
 
 import math
-from typing import Any, Optional, Sequence, Tuple
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.ms_deform_attn import (level_start_index, ms_deform_attn,
-                                  sampling_offsets_init_bias)
+from ..ops.ms_deform_attn import ms_deform_attn, sampling_offsets_init_bias
 
 xavier_uniform = nn.initializers.xavier_uniform()
 
@@ -285,6 +283,10 @@ class DINOTransformer(nn.Module):
     n_levels: int = 4
     enc_n_points: int = 4
     dec_n_points: int = 4
+    # jax.checkpoint per layer: trade recompute for activation memory
+    # (the encoder's per-layer sampling tensors are ~300MB/layer at DINO
+    # scale; remat is what makes flagship-scale training fit HBM)
+    remat: bool = False
 
     def setup(self):
         self.level_embed = self.param(
@@ -295,15 +297,19 @@ class DINOTransformer(nn.Module):
             (self.num_queries, self.d_model))
         self.enc_output = nn.Dense(self.d_model, kernel_init=xavier_uniform)
         self.enc_output_norm = nn.LayerNorm()
+        enc_cls = (nn.remat(EncoderLayer, static_argnums=(4,))
+                   if self.remat else EncoderLayer)
+        dec_cls = (nn.remat(DecoderLayer, static_argnums=(5,))
+                   if self.remat else DecoderLayer)
         self.encoder_layers = [
-            EncoderLayer(self.d_model, self.d_ffn, self.n_heads,
-                         self.n_levels, self.enc_n_points,
-                         name=f"enc_{i}")
+            enc_cls(self.d_model, self.d_ffn, self.n_heads,
+                    self.n_levels, self.enc_n_points,
+                    name=f"enc_{i}")
             for i in range(self.num_encoder_layers)]
         self.decoder_layers = [
-            DecoderLayer(self.d_model, self.d_ffn, self.n_heads,
-                         self.n_levels, self.dec_n_points,
-                         name=f"dec_{i}")
+            dec_cls(self.d_model, self.d_ffn, self.n_heads,
+                    self.n_levels, self.dec_n_points,
+                    name=f"dec_{i}")
             for i in range(self.num_decoder_layers)]
         self.decoder_norm = nn.LayerNorm()
         self.ref_point_head = Mlp(self.d_model, self.d_model, 2)

@@ -14,7 +14,7 @@ Capability parity with the reference's checkpoint subsystem (SURVEY.md §5):
 from __future__ import annotations
 
 import os
-from typing import Any, Optional
+from typing import Optional
 
 import jax
 import numpy as np

@@ -12,16 +12,14 @@ IterBasedRunner + hooks). Hook behavior is inlined into a plain loop:
 """
 from __future__ import annotations
 
-import time
-from typing import Any, Dict, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
 
-from ..data.pipeline import (DEFAULT_BUCKETS, make_sup_batch,
-                             make_unsup_batch)
+from ..data.pipeline import make_sup_batch, make_unsup_batch
 from ..data.sampler import SemiBalanceSampler
 from ..models.dino_head import DinoConfig, DINODetector
 from ..models.inference import evaluate_teacher_and_student

@@ -11,7 +11,7 @@ in-graph (jnp.where chains) or host-side — no hook objects.
 """
 from __future__ import annotations
 
-from typing import Sequence, Union
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp

@@ -16,7 +16,7 @@ Loss naming mirrors the reference (`sup_`/`unsup_` prefixes,
 """
 from __future__ import annotations
 
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp

@@ -13,15 +13,13 @@ compiled once per stage, matching the reference's `in_warm_up` switch
 """
 from __future__ import annotations
 
-from functools import partial
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 import jax
-import jax.numpy as jnp
 import optax
 
 from ..models.criterion import detection_loss
-from ..models.dino_head import DinoConfig, DINODetector
+from ..models.dino_head import DINODetector
 from .state import TrainState, ema_update
 
 

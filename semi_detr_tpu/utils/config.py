@@ -17,7 +17,7 @@ import copy
 import os
 import re
 import runpy
-from typing import Any, Dict, List, Optional, Sequence
+from typing import Any, Dict, Optional, Sequence
 
 _VAR_RE = re.compile(r"\$\{([\w.]+)\}")
 

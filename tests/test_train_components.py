@@ -1,0 +1,120 @@
+"""Train-infrastructure unit tests: EMA, schedules, checkpoint, optimizer
+groups, SSOD helpers."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from semi_detr_tpu.train.state import TrainState, ema_momentum, ema_update
+from semi_detr_tpu.train.schedules import (constant, linear_warmup,
+                                           step_schedule)
+from semi_detr_tpu.train import optim
+
+
+def test_ema_momentum_ramp():
+    # reference formula: min(m, 1 - (1+warm)/(step+1+warm))
+    assert float(ema_momentum(jnp.int32(0), 0.999)) == 0.0
+    assert abs(float(ema_momentum(jnp.int32(1), 0.999)) - 0.5) < 1e-6
+    assert float(ema_momentum(jnp.int32(10 ** 6), 0.999)) == pytest.approx(
+        0.999)
+
+
+def test_ema_update_blend():
+    t = {"w": jnp.ones((3,))}
+    s = {"w": jnp.zeros((3,))}
+    out = ema_update(t, s, jnp.int32(10 ** 6), momentum=0.9)
+    np.testing.assert_allclose(np.asarray(out["w"]), 0.9, atol=1e-6)
+    # step 0: teacher becomes an exact clone (m=0)
+    out0 = ema_update(t, s, jnp.int32(0), momentum=0.9)
+    np.testing.assert_allclose(np.asarray(out0["w"]), 0.0, atol=1e-6)
+
+
+def test_step_schedule_and_warmup():
+    s = step_schedule([1.0, 0.5, 0.1], [100, 200])
+    assert float(s(jnp.int32(0))) == 1.0
+    assert float(s(jnp.int32(150))) == 0.5
+    assert float(s(jnp.int32(250))) == pytest.approx(0.1)
+    w = linear_warmup(4.0, 100)
+    assert float(w(jnp.int32(0))) == 0.0
+    assert float(w(jnp.int32(50))) == pytest.approx(2.0)
+    assert float(w(jnp.int32(1000))) == 4.0
+    assert float(constant(3.0)(jnp.int32(7))) == 3.0
+
+
+def test_optimizer_groups_freeze_and_mult():
+    params = {
+        "backbone": {"stem_conv": {"kernel": jnp.ones((2,))},
+                     "layer1_0": {"conv1": {"kernel": jnp.ones((2,))}},
+                     "layer3_0": {"conv1": {"kernel": jnp.ones((2,))}}},
+        "fc_cls": {"cls": {"kernel": jnp.ones((2,))}},
+    }
+    tx = optim.make_optimizer(params, base_lr=1.0, weight_decay=0.0,
+                              backbone_lr_mult=0.1, clip_norm=1e9)
+    state = tx.init(params)
+    grads = jax.tree.map(jnp.ones_like, params)
+    updates, _ = tx.update(grads, state, params)
+    # frozen: stem + layer1 get exactly zero update
+    assert float(jnp.abs(
+        updates["backbone"]["stem_conv"]["kernel"]).max()) == 0.0
+    assert float(jnp.abs(
+        updates["backbone"]["layer1_0"]["conv1"]["kernel"]).max()) == 0.0
+    # backbone gets 0.1x the head lr
+    head = float(jnp.abs(updates["fc_cls"]["cls"]["kernel"]).max())
+    bb = float(jnp.abs(
+        updates["backbone"]["layer3_0"]["conv1"]["kernel"]).max())
+    assert abs(bb / head - 0.1) < 1e-4
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from semi_detr_tpu.train.checkpoint import (CheckpointManager,
+                                                duplicate_into_teacher)
+    tx = optax.sgd(0.1)
+    variables = {"params": {"w": jnp.arange(4.0)}}
+    state = TrainState.create(variables, tx, with_teacher=True)
+    state = state.replace(step=jnp.int32(4000),
+                          params={"w": jnp.full((4,), 7.0)})
+    mgr = CheckpointManager(str(tmp_path / "ckpt"), interval=4000)
+    assert mgr.maybe_save(state)
+    mgr.wait()
+    assert mgr.latest_step() == 4000
+    template = TrainState.create(variables, tx, with_teacher=True)
+    restored = mgr.restore(template)
+    assert int(restored.step) == 4000
+    np.testing.assert_allclose(np.asarray(restored.params["w"]), 7.0)
+    mgr.close()
+    # warm-start duplication: teacher <- student
+    dup = duplicate_into_teacher(restored)
+    np.testing.assert_allclose(np.asarray(dup.teacher_params["w"]), 7.0)
+
+
+def test_dual_filter_and_positions():
+    from semi_detr_tpu.models.ssod import SsodConfig, dual_filter
+    costs = jnp.asarray([[1.0, 5.0, 2.0, 9.0]])
+    scores = jnp.asarray([[0.1, 0.9, 0.2, 0.3]])
+    valid = jnp.asarray([[True, True, True, False]])
+    keep_sup, keep_cons = dual_filter(costs, scores, valid,
+                                      gmm_thr=jnp.float32(2.5),
+                                      score_thr=0.4)
+    # sup: score >= .4 and valid -> only #1
+    assert np.asarray(keep_sup).tolist() == [[False, True, False, False]]
+    # cons: sup U (cost <= 2.5) -> #0, #1, #2 (not #3: invalid)
+    assert np.asarray(keep_cons).tolist() == [[True, True, True, False]]
+
+
+def test_combined_attn_mask_structure():
+    from semi_detr_tpu.models.ssod import combined_attn_mask
+    m = np.asarray(combined_attn_mask(cons_pad=6, cons_groups=2,
+                                      dn_single_pad=2, dn_groups=1,
+                                      num_queries=4))
+    # total = 6 + 4 + 4
+    assert m.shape == (14, 14)
+    # matching queries can't see any front block
+    assert m[10:, :10].all() and not m[10:, 10:].any()
+    # consistency group 0 (rows 0-2) blocked from group 1 + dn
+    assert m[0, 3] and m[0, 6] and not m[0, 1]
+    # cons queries CAN see matching
+    assert not m[0, 10:].any()
+    # dn group sees itself + matching only
+    assert m[6, 0] and not m[6, 7] and not m[6, 10:].any()
