@@ -78,6 +78,7 @@ def o2m_targets(cls_logits, bbox_pred, gt_boxes, gt_labels, gt_valid,
     """TOOD one-to-many targets (warm-up stage) for one image."""
     nq = cls_logits.shape[0]
     g = gt_boxes.shape[0]
+    topk = min(topk, nq)
     score = jax.nn.sigmoid(cls_logits)                           # (Nq, K)
     safe_labels = jnp.where(gt_valid, gt_labels, 0)
     pred_xyxy = box_ops.cxcywh_to_xyxy(bbox_pred)

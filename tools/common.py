@@ -40,8 +40,12 @@ def class_names(cfg) -> tuple:
 
 
 def dino_config(cfg) -> DinoConfig:
+    import jax.numpy as jnp
     m = dict(cfg["model"])
     m.pop("type", None)
+    if isinstance(m.get("dtype"), str):
+        m["dtype"] = {"float32": jnp.float32, "bfloat16": jnp.bfloat16,
+                      "bf16": jnp.bfloat16}[m["dtype"]]
     return DinoConfig(**m)
 
 
