@@ -12,6 +12,8 @@ IterBasedRunner + hooks). Hook behavior is inlined into a plain loop:
 """
 from __future__ import annotations
 
+import queue
+import threading
 from typing import Optional
 
 import jax
@@ -38,6 +40,29 @@ def _pad_indices(idx, n):
     while len(idx) < n:
         idx.append(idx[-1] if idx else 0)
     return idx[:n]
+
+
+def prefetch(iterator, depth: int = 2):
+    """Background-thread batch prefetch: overlaps host-side decoding/
+    augmentation/packing with device steps (the torch-DataLoader-worker
+    role; image decode itself is the native C++ loader)."""
+    q = queue.Queue(maxsize=depth)
+    _END = object()
+
+    def worker():
+        try:
+            for item in iterator:
+                q.put(item)
+        finally:
+            q.put(_END)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is _END:
+            return
+        yield item
 
 
 class SsodTrainer:
@@ -132,7 +157,7 @@ class SsodTrainer:
             weight_summary(self.state.params).split("TOTAL")[-1])
         rng = jax.random.PRNGKey(self.seed + 13)
         total = min(self.total_steps, max_steps or self.total_steps)
-        for batch in self.batches(start_step=int(self.state.step)):
+        for batch in prefetch(self.batches(start_step=int(self.state.step))):
             step = int(self.state.step)
             if step >= total:
                 break
@@ -210,16 +235,13 @@ class SupervisedTrainer:
                 self.detector, self.tx, warm_up=warm_up, mesh=self.mesh)
         return self._steps[warm_up]
 
-    def train(self, max_steps: Optional[int] = None):
-        rng = jax.random.PRNGKey(self.seed + 13)
+    def batches(self):
         data_rng = np.random.default_rng(self.seed + 7)
         order_rng = np.random.default_rng(self.seed)
         n = len(self.dataset)
         perm = order_rng.permutation(n)
         cursor = 0
-        total = min(self.total_steps, max_steps or self.total_steps)
-        while int(self.state.step) < total:
-            step = int(self.state.step)
+        while True:
             idx = []
             for _ in range(self.batch_size):
                 if cursor >= n:
@@ -230,6 +252,15 @@ class SupervisedTrainer:
             batch = make_sup_batch(data_rng, self.dataset, idx, self.bucket,
                                    self.cfg.max_gt, scales=self.scales)
             batch.pop("image_ids", None)
+            yield batch
+
+    def train(self, max_steps: Optional[int] = None):
+        rng = jax.random.PRNGKey(self.seed + 13)
+        total = min(self.total_steps, max_steps or self.total_steps)
+        gen = prefetch(self.batches())
+        while int(self.state.step) < total:
+            step = int(self.state.step)
+            batch = next(gen)
             if self.mesh is not None:
                 batch = shard_batch(batch, self.mesh)
             warm_up = step < self.warm_up_step
