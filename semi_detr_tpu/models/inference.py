@@ -34,6 +34,7 @@ def decode_topk(cls_logits, coords, img_hw, max_dets: int = 300):
     Returns boxes (B, D, 4) xyxy ABS (valid-extent coords), scores, labels.
     """
     b, nq, k = cls_logits.shape
+    max_dets = min(max_dets, nq * k)
 
     def per_image(logits, coord, hw):
         scores = jax.nn.sigmoid(logits).reshape(-1)

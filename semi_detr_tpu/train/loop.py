@@ -235,6 +235,12 @@ class SupervisedTrainer:
                 self.detector, self.tx, warm_up=warm_up, mesh=self.mesh)
         return self._steps[warm_up]
 
+    def resume(self):
+        if self.ckpt.latest_step() is not None:
+            self.state = self.ckpt.restore(self.state)
+            self.logger.logger.info(
+                f"resumed from step {int(self.state.step)}")
+
     def batches(self):
         data_rng = np.random.default_rng(self.seed + 7)
         order_rng = np.random.default_rng(self.seed)

@@ -33,6 +33,8 @@ def main():
         scales=([tuple(s) for s in cfg["scales"]]
                 if cfg.get("scales") else None),
         seed=cfg.get("seed", 0))
+    if args.resume_from or trainer.ckpt.latest_step() is not None:
+        trainer.resume()
     trainer.train(max_steps=args.max_steps)
 
 
