@@ -20,6 +20,9 @@ model = dict(
     dn_label_noise_ratio=0.5,
     dn_box_noise_scale=0.4,
     max_gt=100,
+    # flagship-scale training on TPU needs both (see PARITY.md):
+    dtype="bfloat16",
+    remat=True,
 )
 
 optimizer = dict(lr=1e-4, weight_decay=1e-4, backbone_lr_mult=0.1,
