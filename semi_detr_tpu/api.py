@@ -42,7 +42,16 @@ def init_detector(config_path: str, checkpoint_dir: str,
         detector, Projector(dcfg.d_model), optax.identity(), scfg,
         jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)),
         jnp.asarray([[64, 64]], jnp.int32))
+    from .train.checkpoint import duplicate_into_teacher
     state = CheckpointManager(checkpoint_dir).restore(template)
+    if not (isinstance(state.params, dict) and "detector" in state.params):
+        # plain supervised checkpoint: wrap and duplicate into the
+        # teacher (the reference's state_dict duplication rule,
+        # dino_detr_ssod.py:963-968)
+        state = state.replace(params={
+            "detector": state.params,
+            "projector": template.params["projector"]})
+        state = duplicate_into_teacher(state)
     names = (VOC_CLASSES if cfg["data"].get("classes") == "voc"
              else COCO_CLASSES)
     return Predictor(detector, state, scfg, names)
@@ -70,14 +79,15 @@ class Predictor:
         self._predict = make_predict_fn(detector, use_nms=use_nms)
 
     def __call__(self, image: np.ndarray, score_thr: float = 0.3,
-                 bucket: Tuple[int, int] = (800, 1344)):
+                 bucket: Tuple[int, int] = (800, 1344),
+                 test_scale: Optional[Tuple[int, int]] = None):
         """image: (H, W, 3) uint8 RGB. Returns (boxes xyxy in original
         image coords, scores, labels) above score_thr."""
         import jax
-        from .data.augment import make_sample, test_resize
+        from .data.augment import TEST_SCALE, make_sample, test_resize
         from .data.pipeline import pack
 
-        s = test_resize(make_sample(image))
+        s = test_resize(make_sample(image), test_scale or TEST_SCALE)
         p = pack(s, bucket, 1)
         boxes, scores, labels = jax.device_get(self._predict(
             self.variables, p.image[None], p.hw[None]))
