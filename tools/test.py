@@ -52,7 +52,11 @@ def main():
               else state.params["detector"])
     res = evaluate_detector(
         detector, {"params": params, "batch_stats": state.batch_stats},
-        val, use_nms=use_nms, num_classes=scfg.dino.num_classes,
+        val, use_nms=use_nms,
+        bucket=tuple(cfg.get("bucket", (800, 1344))),
+        test_scale=(tuple(max(cfg["scales"])) if cfg.get("scales")
+                    else None),
+        num_classes=scfg.dino.num_classes,
         class_names=names)
     print(json.dumps({k: v for k, v in res.items()
                       if k != "AP_per_class"}, indent=2))
