@@ -56,14 +56,40 @@ class SemiBalanceSampler:
         idx = rng.permutation(n)
         return idx
 
-    def epoch(self, epoch: int) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
-        """Yields (sup_idx, unsup_idx) per batch for this shard."""
+    def epoch(self, epoch: int
+              ) -> Iterator[Tuple[np.ndarray, np.ndarray, int]]:
+        """Yields (sup_idx, unsup_idx, flag) per batch for this shard.
+
+        Every batch is aspect-ratio homogeneous (mmdet group-sampler
+        semantics via the dataset `flag`): all its images share one
+        orientation, so the host pipeline can pick ONE static bucket per
+        step — landscape batches pad to (H, W), portrait to (W, H)."""
         rng = np.random.default_rng(self.seed + epoch)
-        sup_stream = self._infinite(rng, self.num_sup)
-        unsup_stream = self._infinite(rng, self.num_unsup)
+        streams = {}
+        n_flagged = {}
+        for f in (0, 1):
+            sup_ids = np.nonzero(self.sup_flags == f)[0]
+            unsup_ids = np.nonzero(self.unsup_flags == f)[0]
+            n_flagged[f] = (len(sup_ids), len(unsup_ids))
+            streams[f] = (self._infinite(rng, sup_ids),
+                          self._infinite(rng, unsup_ids))
+        # flags usable only if BOTH datasets have images of it
+        usable = [f for f in (0, 1) if min(n_flagged[f]) > 0]
+        if not usable:  # fall back to mixing (degenerate tiny datasets)
+            usable = [f for f in (0, 1) if max(n_flagged[f]) > 0] or [1]
+            all_ids = np.arange(self.num_sup)
+            all_un = np.arange(self.num_unsup)
+            streams = {f: (self._infinite(rng, all_ids),
+                           self._infinite(rng, all_un)) for f in usable}
+        weights = np.asarray(
+            [sum(n_flagged[f]) for f in usable], np.float64)
+        weights = weights / weights.sum()
+
         r_sup, r_unsup = self.sample_ratio
         p_sup = r_sup / (r_sup + r_unsup)
         for step in range(self.epoch_length):
+            flag = int(rng.choice(usable, p=weights))
+            sup_stream, unsup_stream = streams[flag]
             if self.by_prob:
                 # multinomial split of the batch (semi_sampler.py:118-132),
                 # at least 1 sup to keep loss groups populated
@@ -80,12 +106,16 @@ class SemiBalanceSampler:
                     next(unsup_stream)
                 continue
             yield (np.asarray([next(sup_stream) for _ in range(n_sup)]),
-                   np.asarray([next(unsup_stream) for _ in range(n_unsup)]))
+                   np.asarray([next(unsup_stream) for _ in range(n_unsup)]),
+                   flag)
 
-    def _infinite(self, rng, n):
+    def _infinite(self, rng, ids):
+        if np.isscalar(ids) or getattr(ids, "ndim", 1) == 0:
+            ids = np.arange(int(ids))
+        ids = np.asarray(ids)
         while True:
-            for i in rng.permutation(n):
-                yield int(i)
+            for i in rng.permutation(len(ids)):
+                yield int(ids[i])
 
 
 class FixedRatioSampler(SemiBalanceSampler):

@@ -113,11 +113,17 @@ def evaluate_detector(detector: DINODetector, variables, dataset,
     predict = make_predict_fn(detector, use_nms)
 
     def batches():
-        n = len(dataset)
-        for s in range(0, n, batch_size):
-            idx = list(range(s, min(s + batch_size, n)))
-            idx = idx + [idx[-1]] * (batch_size - len(idx))  # static batch
-            yield make_test_batch(dataset, idx, bucket, scale=test_scale)
+        # group by aspect-ratio flag so each batch pads to one
+        # orientation's bucket (portrait images transpose the bucket)
+        h, w = bucket
+        land = (h, w) if w >= h else (w, h)
+        flags = np.asarray(dataset.flags)
+        for f, bkt in ((1, land), (0, (land[1], land[0]))):
+            ids = np.nonzero(flags == f)[0]
+            for s in range(0, len(ids), batch_size):
+                idx = [int(i) for i in ids[s:s + batch_size]]
+                idx = idx + [idx[-1]] * (batch_size - len(idx))
+                yield make_test_batch(dataset, idx, bkt, scale=test_scale)
 
     dets = run_eval(predict, variables, batches())
     gts = {}

@@ -42,6 +42,14 @@ def _pad_indices(idx, n):
     return idx[:n]
 
 
+def _bucket_for_flag(bucket, flag):
+    """Aspect-ratio group -> bucket orientation: flag 1 = landscape
+    (w > h) uses (H, W); flag 0 = portrait uses the transposed bucket."""
+    h, w = bucket
+    land = (h, w) if w >= h else (w, h)
+    return land if flag == 1 else (land[1], land[0])
+
+
 def prefetch(iterator, depth: int = 2):
     """Background-thread batch prefetch: overlaps host-side decoding/
     augmentation/packing with device steps (the torch-DataLoader-worker
@@ -132,15 +140,16 @@ class SsodTrainer:
             self.samples_per_batch, (n_sup, n_unsup),
             epoch_length=10 ** 9, seed=self.seed)
         rng = np.random.default_rng(self.seed + 7)
-        for step, (sup_idx, unsup_idx) in enumerate(sampler.epoch(0)):
+        for step, (sup_idx, unsup_idx, flag) in enumerate(sampler.epoch(0)):
             if step < start_step:
                 continue
+            bucket = _bucket_for_flag(self.bucket, flag)
             sup = make_sup_batch(rng, self.sup_dataset,
-                                 _pad_indices(sup_idx, n_sup), self.bucket,
+                                 _pad_indices(sup_idx, n_sup), bucket,
                                  self.cfg.dino.max_gt, scales=self.scales)
             unsup = make_unsup_batch(rng, self.unsup_dataset,
                                      _pad_indices(unsup_idx, n_unsup),
-                                     self.bucket, self.cfg.dino.max_gt,
+                                     bucket, self.cfg.dino.max_gt,
                                      scales=self.scales)
             sup.pop("image_ids", None)
             unsup.pop("image_ids", None)
@@ -242,20 +251,31 @@ class SupervisedTrainer:
                 f"resumed from step {int(self.state.step)}")
 
     def batches(self):
+        """Aspect-ratio-homogeneous batches (mmdet GroupSampler
+        semantics): each batch draws from one orientation group and pads
+        to that orientation's bucket."""
         data_rng = np.random.default_rng(self.seed + 7)
         order_rng = np.random.default_rng(self.seed)
-        n = len(self.dataset)
-        perm = order_rng.permutation(n)
-        cursor = 0
+        flags = np.asarray(self.dataset.flags)
+        groups = {f: np.nonzero(flags == f)[0] for f in (0, 1)
+                  if (flags == f).any()}
+        perms = {f: order_rng.permutation(ids)
+                 for f, ids in groups.items()}
+        cursors = {f: 0 for f in groups}
+        fl = list(groups)
+        weights = np.asarray([len(groups[f]) for f in fl], np.float64)
+        weights = weights / weights.sum()
         while True:
+            f = int(order_rng.choice(fl, p=weights))
             idx = []
             for _ in range(self.batch_size):
-                if cursor >= n:
-                    perm = order_rng.permutation(n)
-                    cursor = 0
-                idx.append(int(perm[cursor]))
-                cursor += 1
-            batch = make_sup_batch(data_rng, self.dataset, idx, self.bucket,
+                if cursors[f] >= len(groups[f]):
+                    perms[f] = order_rng.permutation(groups[f])
+                    cursors[f] = 0
+                idx.append(int(perms[f][cursors[f]]))
+                cursors[f] += 1
+            batch = make_sup_batch(data_rng, self.dataset, idx,
+                                   _bucket_for_flag(self.bucket, f),
                                    self.cfg.max_gt, scales=self.scales)
             batch.pop("image_ids", None)
             yield batch

@@ -57,13 +57,30 @@ def test_sampler_ratio_and_determinism():
                            epoch_length=20, seed=5)
     batches = list(s.epoch(0))
     assert len(batches) == 20
-    for sup, unsup in batches:
+    for sup, unsup, flag in batches:
         assert len(sup) == 1 and len(unsup) == 4
         assert sup.max() < 10 and unsup.max() < 40
+        assert flag == 0          # all images portrait-flagged here
     batches2 = list(SemiBalanceSampler(
         10, 40, [0] * 10, [0] * 40, 5, (1, 4), 20, seed=5).epoch(0))
     assert all((a[0] == b[0]).all() and (a[1] == b[1]).all()
                for a, b in zip(batches, batches2))
+
+
+def test_sampler_orientation_groups():
+    # 6 landscape + 4 portrait sup; 20 landscape + 20 portrait unsup:
+    # every batch must be orientation-pure w.r.t. the dataset flags
+    sup_flags = [1] * 6 + [0] * 4
+    unsup_flags = [1] * 20 + [0] * 20
+    s = SemiBalanceSampler(10, 40, sup_flags, unsup_flags,
+                           samples_per_batch=5, sample_ratio=(1, 4),
+                           epoch_length=40, seed=3)
+    saw = set()
+    for sup, unsup, flag in s.epoch(0):
+        saw.add(flag)
+        assert all(sup_flags[i] == flag for i in sup)
+        assert all(unsup_flags[i] == flag for i in unsup)
+    assert saw == {0, 1}
 
 
 def test_sampler_sharding_partitions_steps():
