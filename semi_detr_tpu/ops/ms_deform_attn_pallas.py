@@ -40,7 +40,9 @@ from .ms_deform_attn import level_start_index
 from .ms_deform_attn import ms_deform_attn as ms_deform_attn_xla
 
 _BQ = 128   # queries per grid step == lane width == window size
-_STATIC_SPAN = 3   # unconditionally visited windows per tap (median span)
+_STATIC_SPAN = 3       # fwd: unconditionally visited windows per tap
+_STATIC_SPAN_BWD = 1   # bwd visits are heavy (scatter matmul): overshoot
+                       # costs more than while-loop carries save
 
 
 def _round_up(x: int, m: int) -> int:
@@ -356,10 +358,10 @@ def _bwd_kernel(locx_ref, locy_ref, attn_ref, locxT_ref, locyT_ref,
 
             carry = (da_row, dpx_row, dpy_row)
             span = wmax - wmin + 1
-            for k in range(_STATIC_SPAN):
+            for k in range(_STATIC_SPAN_BWD):
                 carry = visit(wmin + k, carry, live=(k < span))
             carry = jax.lax.fori_loop(
-                _STATIC_SPAN, span,
+                _STATIC_SPAN_BWD, span,
                 lambda k, c: visit(wmin + k, c), carry)
             da_row, dpx_row, dpy_row = carry
         da_ref[0, 0, r:r + 1, :] = da_row
