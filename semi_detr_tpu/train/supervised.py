@@ -60,6 +60,7 @@ def make_supervised_train_step(model: DINODetector,
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         metrics = dict(losses)
+        metrics["total_loss"] = metrics.pop("total")
         metrics["grad_norm"] = optax.global_norm(grads)
         new_state = state.replace(step=state.step + 1, params=params,
                                   teacher_params=teacher,

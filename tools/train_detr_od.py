@@ -27,6 +27,7 @@ def main():
         batch_size=sched.get("batch_size", 16),
         lr=cfg["optimizer"]["lr"],
         lr_boundaries=tuple(sched.get("lr_boundaries", ())),
+        warm_up_step=cfg.get("ssod", {}).get("warm_up_step", 0),
         eval_interval=cfg.get("eval_interval", 4000),
         ckpt_interval=cfg.get("ckpt_interval", 4000),
         bucket=tuple(cfg.get("bucket", (800, 1344))),
