@@ -67,8 +67,13 @@ def pack(sample: Sample, bucket: Tuple[int, int], max_gt: int,
     h, w = sample.img.shape[:2]
     bh, bw = bucket
     assert h <= bh and w <= bw, ((h, w), bucket)
-    img = np.zeros((bh, bw, 3), np.float32)
-    img[:h, :w] = normalize_image(sample.img)
+    from .. import native
+    from .augment import IMG_MEAN, IMG_STD
+    if native.available() and sample.img.dtype == np.uint8:
+        img = native.normalize_pad(sample.img, (bh, bw), IMG_MEAN, IMG_STD)
+    else:
+        img = np.zeros((bh, bw, 3), np.float32)
+        img[:h, :w] = normalize_image(sample.img)
 
     n = min(len(sample.boxes), max_gt)
     boxes = np.zeros((max_gt, 4), np.float32)
