@@ -43,15 +43,32 @@ def init_detector(config_path: str, checkpoint_dir: str,
         jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)),
         jnp.asarray([[64, 64]], jnp.int32))
     from .train.checkpoint import duplicate_into_teacher
-    state = CheckpointManager(checkpoint_dir).restore(template)
-    if not (isinstance(state.params, dict) and "detector" in state.params):
-        # plain supervised checkpoint: wrap and duplicate into the
-        # teacher (the reference's state_dict duplication rule,
-        # dino_detr_ssod.py:963-968)
-        state = state.replace(params={
-            "detector": state.params,
-            "projector": template.params["projector"]})
-        state = duplicate_into_teacher(state)
+    if checkpoint_dir.endswith((".pth", ".pt")):
+        # reference/torch checkpoint: convert on load (teacher/student
+        # duplication rule handled by the converter). The step is parsed
+        # from an "iter_XXXX" filename like the reference tools/test.py
+        # (:235-241); unparseable names assume a finished run (top-k
+        # decode path).
+        import re
+
+        from .train.checkpoint import apply_warm_start, load_warm_start
+        state = apply_warm_start(
+            template, load_warm_start(checkpoint_dir, dcfg.n_heads),
+            ssod=True)
+        m = re.search(r"iter_(\d+)", os.path.basename(checkpoint_dir))
+        step = int(m.group(1)) if m else scfg.warm_up_step
+        state = state.replace(step=jnp.asarray(step, jnp.int32))
+    else:
+        state = CheckpointManager(checkpoint_dir).restore(template)
+        if not (isinstance(state.params, dict)
+                and "detector" in state.params):
+            # plain supervised checkpoint: wrap and duplicate into the
+            # teacher (the reference's state_dict duplication rule,
+            # dino_detr_ssod.py:963-968)
+            state = state.replace(params={
+                "detector": state.params,
+                "projector": template.params["projector"]})
+            state = duplicate_into_teacher(state)
     names = (VOC_CLASSES if cfg["data"].get("classes") == "voc"
              else COCO_CLASSES)
     return Predictor(detector, state, scfg, names)

@@ -7,6 +7,8 @@ mmdet `CocoDataset.evaluate(metric='bbox', classwise=True)` ->
 pycocotools COCOeval): IoU thresholds .5:.05:.95, 101-point recall grid,
 area ranges all/small/medium/large, maxDets (1, 10, 100), greedy
 score-ordered matching with crowd/ignore regions matched but not counted.
+Reports the full 12-number COCO summary: AP family plus AR@[1,10,100]
+and AR_s/m/l (mmdet prints both, `submodules_evaluation.py:107-112`).
 """
 from __future__ import annotations
 
@@ -23,6 +25,7 @@ AREA_RNG = {
     "large": (96.0 ** 2, 1e10),
 }
 MAX_DETS = 100
+AR_MAX_DETS = (1, 10, 100)
 
 
 def box_iou_xyxy(a: np.ndarray, b: np.ndarray,
@@ -108,8 +111,11 @@ def coco_map(detections: Dict[int, Tuple[np.ndarray, np.ndarray,
     img_ids = sorted(groundtruth.keys())
     T, R = len(IOU_THRS), len(REC_THRS)
     areas = list(AREA_RNG)
-    # precision[t, r, k, a]
+    # precision[t, r, k, a]; recall[t, k, a] at maxDets=100 and
+    # recall_md[t, k, m] (area=all) at maxDets AR_MAX_DETS
     precision = -np.ones((T, R, num_classes, len(areas)))
+    recall = -np.ones((T, num_classes, len(areas)))
+    recall_md = -np.ones((T, num_classes, len(AR_MAX_DETS)))
     ap_per_class = np.full(num_classes, np.nan)
 
     for k in range(num_classes):
@@ -140,7 +146,23 @@ def coco_map(detections: Dict[int, Tuple[np.ndarray, np.ndarray,
                 continue
             if not stats:
                 precision[:, :, k, ai] = 0
+                recall[:, k, ai] = 0
+                if ai == 0:
+                    recall_md[:, k, :] = 0
                 continue
+            # recall at each maxDets: truncate per IMAGE before pooling
+            # (pycocotools applies maxDets per image)
+            for mi, md in enumerate(AR_MAX_DETS):
+                if ai != 0 and md != MAX_DETS:
+                    continue
+                tp_total = sum(
+                    ((dtm_i[:, :md] >= 0) & ~ig_i[:, :md]).sum(1)
+                    for dtm_i, ig_i, _ in stats)
+                rc_md = tp_total / n_gt[a]
+                if ai == 0:
+                    recall_md[:, k, mi] = rc_md
+                if md == MAX_DETS:
+                    recall[:, k, ai] = rc_md
             dtm = np.concatenate([s[0] for s in stats], axis=1)
             dt_ig = np.concatenate([s[1] for s in stats], axis=1)
             scores = np.concatenate([s[2] for s in stats])
@@ -173,6 +195,14 @@ def coco_map(detections: Dict[int, Tuple[np.ndarray, np.ndarray,
         p = p[p > -1]
         return float(p.mean()) if p.size else float("nan")
 
+    def _ar(mi=None, area="all"):
+        if mi is not None:
+            r = recall_md[:, :, mi]
+        else:
+            r = recall[:, :, areas.index(area)]
+        r = r[r > -1]
+        return float(r.mean()) if r.size else float("nan")
+
     out = {
         "mAP": _ap(),
         "mAP_50": _ap(slice(0, 1)),
@@ -180,6 +210,12 @@ def coco_map(detections: Dict[int, Tuple[np.ndarray, np.ndarray,
         "mAP_s": _ap(area="small"),
         "mAP_m": _ap(area="medium"),
         "mAP_l": _ap(area="large"),
+        "AR_1": _ar(0),
+        "AR_10": _ar(1),
+        "AR_100": _ar(2),
+        "AR_s": _ar(area="small"),
+        "AR_m": _ar(area="medium"),
+        "AR_l": _ar(area="large"),
     }
     if class_names is not None:
         out["AP_per_class"] = {

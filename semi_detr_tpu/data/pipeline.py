@@ -35,6 +35,36 @@ DEFAULT_BUCKETS: Tuple[Tuple[int, int], ...] = (
 )
 
 
+# training bucket short-sides for multi-bucket mode: the 11 reference
+# scales (480..800 x 1333) quantize onto 3 bucket heights -> 6 programs
+# (3 sizes x 2 orientations) instead of padding everything to 800x1344
+# (~15-25% padded-area saving, ROADMAP P1)
+BUCKET_SHORTS: Tuple[int, ...] = (544, 672, 800)
+
+
+def pick_step_bucket(bucket_rng, scales, base_bucket, flag):
+    """Multi-bucket training: draw ONE scale for this step and quantize it
+    to a bucket.
+
+    Deviation from the reference (documented): the reference draws a
+    resize scale PER IMAGE (`rand_aug.py` RandResize); drawing one scale
+    per STEP keeps every batch in one static bucket so the step count of
+    compiled programs stays at (3 sizes x 2 orientations). `bucket_rng`
+    must be advanced exactly once per step so multi-host shards agree.
+
+    Returns (scale, (H, W) bucket) with the bucket oriented by `flag`
+    (1 = landscape).
+    """
+    scale = tuple(scales[int(bucket_rng.integers(len(scales)))])
+    short = min(scale)
+    long_side = max(base_bucket)
+    bh = next((s for s in BUCKET_SHORTS if s >= short),
+              min(max(base_bucket), max(BUCKET_SHORTS)))
+    bh = min(bh, min(base_bucket))
+    bucket = (bh, long_side) if flag == 1 else (long_side, bh)
+    return scale, bucket
+
+
 def pick_bucket(h: int, w: int,
                 buckets: Sequence[Tuple[int, int]] = DEFAULT_BUCKETS
                 ) -> Tuple[int, int]:

@@ -12,6 +12,12 @@ TPU-native shape: the sampler yields (sup_indices, unsup_indices) pairs
 per step; the loader builds one sup batch + one two-view unsup batch from
 them — there is no torch Sampler object, just a deterministic index
 stream any host can compute for its shard.
+
+Multi-host sharding: `sample_ratio`/`samples_per_batch` are PER-HOST (the
+reference's per-GPU semantics); each step draws num_shards * batch
+indices from one seeded stream and host `shard_id` takes its contiguous
+slice — every host sees the SAME step with DISJOINT data, the reference's
+rank sharding (`semi_sampler.py:185-187`) in global-view form.
 """
 from __future__ import annotations
 
@@ -49,12 +55,6 @@ class SemiBalanceSampler:
         self.seed = seed
         self.num_shards = num_shards
         self.shard_id = shard_id
-
-    def _group_shuffled(self, rng, n, flags):
-        """Shuffle within aspect-ratio groups then interleave groups —
-        keeps batches shape-homogeneous like mmdet group samplers."""
-        idx = rng.permutation(n)
-        return idx
 
     def epoch(self, epoch: int
               ) -> Iterator[Tuple[np.ndarray, np.ndarray, int]]:
@@ -98,15 +98,15 @@ class SemiBalanceSampler:
             else:
                 n_sup = r_sup
             n_unsup = self.samples_per_batch - n_sup
-            if step % self.num_shards != self.shard_id:
-                # advance streams deterministically across shards
-                for _ in range(n_sup):
-                    next(sup_stream)
-                for _ in range(n_unsup):
-                    next(unsup_stream)
-                continue
-            yield (np.asarray([next(sup_stream) for _ in range(n_sup)]),
-                   np.asarray([next(unsup_stream) for _ in range(n_unsup)]),
+            # one global draw per step; hosts slice disjoint contiguous
+            # chunks (reference rank sharding, semi_sampler.py:185-187)
+            sup_all = [next(sup_stream)
+                       for _ in range(n_sup * self.num_shards)]
+            unsup_all = [next(unsup_stream)
+                         for _ in range(n_unsup * self.num_shards)]
+            s = self.shard_id
+            yield (np.asarray(sup_all[s * n_sup:(s + 1) * n_sup]),
+                   np.asarray(unsup_all[s * n_unsup:(s + 1) * n_unsup]),
                    flag)
 
     def _infinite(self, rng, ids):
@@ -116,12 +116,3 @@ class SemiBalanceSampler:
         while True:
             for i in rng.permutation(len(ids)):
                 yield int(ids[i])
-
-
-class FixedRatioSampler(SemiBalanceSampler):
-    """by_prob=False variant: exactly sample_ratio per batch (used by the
-    coco-full recipe, ratio [1, 1], `..._coco_full_240k.py:14`)."""
-
-    def __init__(self, *a, **k):
-        k["by_prob"] = False
-        super().__init__(*a, **k)

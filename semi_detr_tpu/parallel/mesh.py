@@ -44,9 +44,35 @@ def replicate(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def maybe_initialize_distributed() -> bool:
+    """Form the multi-host JAX runtime when launched by tools/launch_tpu.sh
+    (the analog of the reference's `init_dist`, tools/train_detr_ssod.py:
+    130-137). JAX does NOT consume JAX_COORDINATOR_ADDRESS by itself —
+    `jax.distributed.initialize()` must be called before any backend use.
+
+    No-op (returns False) when the coordinator env is absent, i.e. on
+    single-host slices and in tests."""
+    import os
+    if os.environ.get("JAX_COORDINATOR_ADDRESS") is None:
+        return False
+    if jax.distributed.is_initialized():   # idempotent
+        return True
+    jax.distributed.initialize()   # reads JAX_COORDINATOR_ADDRESS/
+    return True                    # JAX_NUM_PROCESSES/JAX_PROCESS_ID
+
+
 def shard_batch(batch, mesh: Mesh, axis: str = "data"):
-    """Device-put a host batch pytree as global arrays sharded on axis 0."""
+    """Assemble a host-local batch pytree into global arrays sharded on
+    axis 0. Single-process: a plain sharded device_put of the full batch.
+    Multi-host: each process contributes only ITS slice
+    (`jax.make_array_from_process_local_data`) — paired with the
+    sampler's per-host index shards, so no host ever materializes the
+    global batch."""
     s = batch_sharding(mesh, axis)
+    if jax.process_count() > 1:
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(
+                s, np.asarray(x)), batch)
     return jax.tree.map(lambda x: jax.device_put(x, s), batch)
 
 

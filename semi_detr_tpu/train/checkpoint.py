@@ -91,3 +91,95 @@ def load_pretrained_detector(state: TrainState, detector_params) -> TrainState:
     return state.replace(
         params=params,
         teacher_params=jax.tree.map(lambda x: x, detector_params))
+
+
+def _cast_like(dst, src):
+    return jax.tree.map(
+        lambda d, s: np.asarray(s, dtype=np.asarray(d).dtype), dst, src)
+
+
+def load_warm_start(path: str, n_heads: int = 8) -> dict:
+    """Load detector weights for `load_from` warm starts
+    (reference `detr_ssod/apis/train.py:210-222` + the duplication rule
+    `dino_detr_ssod.py:953-978`).
+
+    `path` is either a reference/torch `.pth` checkpoint (converted via
+    utils.torch_weights) or an orbax checkpoint directory produced by our
+    trainers. Returns {"params": detector params, "teacher_params":
+    detector params, "batch_stats": ... or None, "projector": ... or None}.
+    """
+    if path.endswith((".pth", ".pt")):
+        from ..utils.torch_weights import (convert_ssod_checkpoint,
+                                           load_checkpoint_state_dict)
+        out = convert_ssod_checkpoint(load_checkpoint_state_dict(path),
+                                      n_heads=n_heads)
+        return {"params": out["student"]["params"],
+                "teacher_params": out["teacher_params"],
+                "batch_stats": out["student"]["batch_stats"],
+                "projector": out["projector"]}
+    mgr = ocp.CheckpointManager(os.path.abspath(path))
+    step = mgr.latest_step()
+    assert step is not None, f"no checkpoint under {path}"
+    raw = mgr.restore(step)
+    mgr.close()
+    params = raw["params"]
+    projector = None
+    if isinstance(params, dict) and "detector" in params:
+        projector = params.get("projector")
+        params = params["detector"]
+    teacher = raw.get("teacher_params") or params
+    return {"params": params, "teacher_params": teacher,
+            "batch_stats": raw.get("batch_stats"), "projector": projector}
+
+
+def apply_warm_start(state: TrainState, loaded: dict,
+                     ssod: bool) -> TrainState:
+    """Install `load_warm_start` output into a TrainState (dtype-cast to
+    the state's trees). For SSOD states the teacher copy is always set."""
+    if ssod:
+        params = dict(state.params)
+        params["detector"] = _cast_like(params["detector"], loaded["params"])
+        if loaded.get("projector") is not None:
+            params["projector"] = _cast_like(params["projector"],
+                                             loaded["projector"])
+        state = state.replace(
+            params=params,
+            teacher_params=_cast_like(state.teacher_params,
+                                      loaded["teacher_params"]))
+    else:
+        state = state.replace(
+            params=_cast_like(state.params, loaded["params"]))
+        if state.teacher_params is not None:
+            state = state.replace(teacher_params=_cast_like(
+                state.teacher_params, loaded["teacher_params"]))
+    if loaded.get("batch_stats"):
+        state = state.replace(batch_stats=_cast_like(
+            state.batch_stats, loaded["batch_stats"]))
+    return state
+
+
+def apply_backbone_init(state: TrainState, path: str,
+                        ssod: bool) -> TrainState:
+    """Install torchvision-resnet50 pretrained weights (reference
+    `init_cfg checkpoint='torchvision://resnet50'`,
+    `configs/dino_detr/dino_detr_ssod_r50_coco_120k.py:16-18`) into the
+    student (and the teacher EMA copy) from a local .pth."""
+    from ..utils.torch_weights import load_backbone_from_pth
+    bb_params, bb_stats = load_backbone_from_pth(path)
+
+    def install(det_params):
+        out = dict(det_params)
+        out["backbone"] = _cast_like(det_params["backbone"], bb_params)
+        return out
+
+    if ssod:
+        params = dict(state.params)
+        params["detector"] = install(params["detector"])
+        state = state.replace(params=params)
+    else:
+        state = state.replace(params=install(state.params))
+    if state.teacher_params is not None:
+        state = state.replace(teacher_params=install(state.teacher_params))
+    stats = dict(state.batch_stats)
+    stats["backbone"] = _cast_like(stats["backbone"], bb_stats)
+    return state.replace(batch_stats=stats)

@@ -21,7 +21,9 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from ..data.pipeline import make_sup_batch, make_unsup_batch
+from ..data.augment import COCO_SCALES
+from ..data.pipeline import make_sup_batch, make_unsup_batch, \
+    pick_step_bucket
 from ..data.sampler import SemiBalanceSampler
 from ..models.dino_head import DinoConfig, DINODetector
 from ..models.inference import evaluate_teacher_and_student
@@ -83,8 +85,11 @@ class SsodTrainer:
                  samples_per_batch: int = 5, sample_ratio=(1, 4),
                  eval_interval: int = 4000, ckpt_interval: int = 4000,
                  bucket=(800, 1344), scales=None, seed: int = 0,
-                 use_mesh: bool = True):
+                 use_mesh: bool = True, backbone_init: Optional[str] = None,
+                 load_from: Optional[str] = None,
+                 multi_bucket: bool = False):
         self.cfg = cfg
+        self.multi_bucket = multi_bucket
         self.scales = scales
         self.sup_dataset = sup_dataset
         self.unsup_dataset = unsup_dataset
@@ -112,6 +117,15 @@ class SsodTrainer:
         self.tx = optim.make_optimizer(state.params, base_lr=lr,
                                        lr_boundaries=lr_boundaries)
         self.state = state.replace(opt_state=self.tx.init(state.params))
+        if backbone_init:
+            from .checkpoint import apply_backbone_init
+            self.state = apply_backbone_init(self.state, backbone_init,
+                                             ssod=True)
+        if load_from:
+            from .checkpoint import apply_warm_start, load_warm_start
+            self.state = apply_warm_start(
+                self.state, load_warm_start(load_from, cfg.dino.n_heads),
+                ssod=True)
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
             self.state = jax.device_put(
@@ -138,19 +152,32 @@ class SsodTrainer:
             len(self.sup_dataset), len(self.unsup_dataset),
             self.sup_dataset.flags, self.unsup_dataset.flags,
             self.samples_per_batch, (n_sup, n_unsup),
-            epoch_length=10 ** 9, seed=self.seed)
+            epoch_length=10 ** 9, seed=self.seed,
+            # per-host disjoint slices of the same global step
+            # (reference rank sharding, semi_sampler.py:185-187)
+            num_shards=jax.process_count(), shard_id=jax.process_index())
         rng = np.random.default_rng(self.seed + 7)
+        # advanced exactly once per step -> multi-host shards agree on the
+        # step bucket (see pick_step_bucket)
+        bucket_rng = np.random.default_rng(self.seed + 99)
         for step, (sup_idx, unsup_idx, flag) in enumerate(sampler.epoch(0)):
+            scales = self.scales
+            if self.multi_bucket:
+                scale, bucket = pick_step_bucket(
+                    bucket_rng, self.scales or COCO_SCALES, self.bucket,
+                    flag)
+                scales = [scale]
+            else:
+                bucket = _bucket_for_flag(self.bucket, flag)
             if step < start_step:
                 continue
-            bucket = _bucket_for_flag(self.bucket, flag)
             sup = make_sup_batch(rng, self.sup_dataset,
                                  _pad_indices(sup_idx, n_sup), bucket,
-                                 self.cfg.dino.max_gt, scales=self.scales)
+                                 self.cfg.dino.max_gt, scales=scales)
             unsup = make_unsup_batch(rng, self.unsup_dataset,
                                      _pad_indices(unsup_idx, n_unsup),
                                      bucket, self.cfg.dino.max_gt,
-                                     scales=self.scales)
+                                     scales=scales)
             sup.pop("image_ids", None)
             unsup.pop("image_ids", None)
             yield {"sup": sup, "unsup": unsup}
@@ -204,8 +231,12 @@ class SupervisedTrainer:
                  lr_boundaries=(82500,), warm_up_step: int = 0,
                  eval_interval: int = 4000, ckpt_interval: int = 4000,
                  bucket=(800, 1344), scales=None, seed: int = 0,
-                 use_mesh: bool = True, with_teacher: bool = False):
+                 use_mesh: bool = True, with_teacher: bool = False,
+                 backbone_init: Optional[str] = None,
+                 load_from: Optional[str] = None,
+                 multi_bucket: bool = False):
         self.cfg = cfg
+        self.multi_bucket = multi_bucket
         self.scales = scales
         self.dataset = dataset
         self.val_dataset = val_dataset
@@ -229,6 +260,15 @@ class SupervisedTrainer:
                                        lr_boundaries=lr_boundaries)
         self.state = TrainState.create(variables, self.tx,
                                        with_teacher=with_teacher)
+        if backbone_init:
+            from .checkpoint import apply_backbone_init
+            self.state = apply_backbone_init(self.state, backbone_init,
+                                             ssod=False)
+        if load_from:
+            from .checkpoint import apply_warm_start, load_warm_start
+            self.state = apply_warm_start(
+                self.state, load_warm_start(load_from, cfg.n_heads),
+                ssod=False)
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
             self.state = jax.device_put(
@@ -253,9 +293,13 @@ class SupervisedTrainer:
     def batches(self):
         """Aspect-ratio-homogeneous batches (mmdet GroupSampler
         semantics): each batch draws from one orientation group and pads
-        to that orientation's bucket."""
+        to that orientation's bucket. `batch_size` is PER-HOST; on
+        multi-host runs every process draws the same global step and
+        slices its disjoint chunk (same scheme as SemiBalanceSampler)."""
         data_rng = np.random.default_rng(self.seed + 7)
         order_rng = np.random.default_rng(self.seed)
+        bucket_rng = np.random.default_rng(self.seed + 99)
+        n_shards, shard = jax.process_count(), jax.process_index()
         flags = np.asarray(self.dataset.flags)
         groups = {f: np.nonzero(flags == f)[0] for f in (0, 1)
                   if (flags == f).any()}
@@ -268,15 +312,22 @@ class SupervisedTrainer:
         while True:
             f = int(order_rng.choice(fl, p=weights))
             idx = []
-            for _ in range(self.batch_size):
+            for _ in range(self.batch_size * n_shards):
                 if cursors[f] >= len(groups[f]):
                     perms[f] = order_rng.permutation(groups[f])
                     cursors[f] = 0
                 idx.append(int(perms[f][cursors[f]]))
                 cursors[f] += 1
-            batch = make_sup_batch(data_rng, self.dataset, idx,
-                                   _bucket_for_flag(self.bucket, f),
-                                   self.cfg.max_gt, scales=self.scales)
+            idx = idx[shard * self.batch_size:(shard + 1) * self.batch_size]
+            scales = self.scales
+            if self.multi_bucket:
+                scale, bucket = pick_step_bucket(
+                    bucket_rng, self.scales or COCO_SCALES, self.bucket, f)
+                scales = [scale]
+            else:
+                bucket = _bucket_for_flag(self.bucket, f)
+            batch = make_sup_batch(data_rng, self.dataset, idx, bucket,
+                                   self.cfg.max_gt, scales=scales)
             batch.pop("image_ids", None)
             yield batch
 

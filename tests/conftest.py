@@ -26,3 +26,8 @@ os.environ.setdefault(
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: multi-minute compile-heavy tests")

@@ -91,3 +91,25 @@ def test_area_ranges():
     res = coco_map(det, gt, num_classes=1)
     assert abs(res["mAP_s"] - 1.0) < 1e-6
     assert res["mAP_l"] == 0.0
+
+
+def test_average_recall_maxdets():
+    """AR@[1,10,100] (pycocotools summarize rows 7-9): two perfect dets
+    on two GTs -> AR_1 = 0.5 (only the top-scored det counts), AR_10 =
+    AR_100 = 1.0; area-split AR follows the GT sizes."""
+    gt = {1: _gt([[0, 0, 10, 10], [20, 20, 30, 30]], [0, 0])}
+    det = {1: _det([[0, 0, 10, 10], [20, 20, 30, 30]], [0.9, 0.8], [0, 0])}
+    res = coco_map(det, gt, num_classes=1)
+    assert abs(res["AR_1"] - 0.5) < 1e-6
+    assert abs(res["AR_10"] - 1.0) < 1e-6
+    assert abs(res["AR_100"] - 1.0) < 1e-6
+    assert abs(res["AR_s"] - 1.0) < 1e-6    # both GTs are small-area
+    assert np.isnan(res["AR_l"])            # no large GT -> excluded
+
+
+def test_average_recall_localization():
+    """A det at IoU 0.6 only recalls at thresholds .5/.55/.6 -> AR 0.3."""
+    gt = {1: _gt([[0, 0, 10, 10]], [0])}
+    det = {1: _det([[0, 0, 10, 6]], [0.9], [0])}
+    res = coco_map(det, gt, num_classes=1)
+    assert abs(res["AR_100"] - 0.3) < 1e-6

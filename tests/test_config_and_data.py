@@ -83,21 +83,27 @@ def test_sampler_orientation_groups():
     assert saw == {0, 1}
 
 
-def test_sampler_sharding_partitions_steps():
+def test_sampler_sharding_same_step_disjoint_data():
+    """Multi-host semantics: every shard sees the SAME step count and
+    flag, with disjoint index slices of one global per-step draw
+    (reference rank sharding, semi_sampler.py:185-187)."""
     kw = dict(samples_per_batch=5, sample_ratio=(1, 4), epoch_length=8,
               seed=1)
-    full = list(SemiBalanceSampler(10, 40, [0] * 10, [0] * 40,
-                                   **kw).epoch(0))
-    shard0 = list(SemiBalanceSampler(10, 40, [0] * 10, [0] * 40,
-                                     num_shards=2, shard_id=0,
-                                     **kw).epoch(0))
-    shard1 = list(SemiBalanceSampler(10, 40, [0] * 10, [0] * 40,
-                                     num_shards=2, shard_id=1,
-                                     **kw).epoch(0))
-    assert len(shard0) == 4 and len(shard1) == 4
-    # shards see the same global stream at their steps
-    assert (shard0[0][0] == full[0][0]).all()
-    assert (shard1[0][0] == full[1][0]).all()
+    shards = [list(SemiBalanceSampler(10, 40, [0] * 10, [0] * 40,
+                                      num_shards=2, shard_id=i,
+                                      **kw).epoch(0)) for i in (0, 1)]
+    assert len(shards[0]) == len(shards[1]) == 8
+    for (s0, u0, f0), (s1, u1, f1) in zip(*shards):
+        assert f0 == f1                       # same bucket per step
+        assert len(s0) == len(s1) == 1 and len(u0) == len(u1) == 4
+        # unsup slices within a step are disjoint (40 ids, 8 drawn from
+        # one permutation stream -> no repeats inside a step)
+        assert not (set(u0.tolist()) & set(u1.tolist()))
+    # reruns are deterministic
+    again = list(SemiBalanceSampler(10, 40, [0] * 10, [0] * 40,
+                                    num_shards=2, shard_id=1,
+                                    **kw).epoch(0))
+    assert all((a[1] == b[1]).all() for a, b in zip(shards[1], again))
 
 
 def test_pack_static_shapes():
@@ -144,3 +150,24 @@ def test_config_delete_semantics():
     out = deep_merge(a, b)
     assert out["x"] == {"r": 7}
     assert out["y"] == 3
+
+
+def test_pick_step_bucket():
+    from semi_detr_tpu.data.augment import COCO_SCALES
+    from semi_detr_tpu.data.pipeline import pick_step_bucket
+
+    rng1 = np.random.default_rng(5)
+    rng2 = np.random.default_rng(5)
+    seen = set()
+    for _ in range(60):
+        scale, bucket = pick_step_bucket(rng1, COCO_SCALES, (800, 1344), 1)
+        scale2, bucket2 = pick_step_bucket(rng2, COCO_SCALES,
+                                           (800, 1344), 0)
+        # shard-deterministic: same rng stream -> same scale either flag
+        assert scale == scale2
+        assert bucket == (bucket2[1], bucket2[0])   # orientation transpose
+        # bucket contains the worst-case resized dims for this scale
+        assert bucket[0] >= min(scale) and bucket[1] >= 1333
+        seen.add(bucket)
+    # the 11 scales quantize onto exactly 3 landscape buckets
+    assert seen == {(544, 1344), (672, 1344), (800, 1344)}

@@ -10,6 +10,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 from semi_detr_tpu.data.coco import COCO_CLASSES, VOC_CLASSES, CocoDataset
 from semi_detr_tpu.models.dino_head import DinoConfig
 from semi_detr_tpu.models.ssod import SsodConfig
+from semi_detr_tpu.parallel import maybe_initialize_distributed
 from semi_detr_tpu.utils.config import load_config, parse_cfg_options
 
 
@@ -18,6 +19,11 @@ def base_parser(desc: str) -> argparse.ArgumentParser:
     p.add_argument("config", help="config file path")
     p.add_argument("--work-dir", default=None)
     p.add_argument("--resume-from", default=None)
+    p.add_argument("--load-from", default=None,
+                   help="warm-start detector weights: a reference/torch "
+                        ".pth (converted on load, teacher/student "
+                        "duplication rule) or an orbax checkpoint dir "
+                        "from a supervised run")
     p.add_argument("--seed", type=int, default=None)
     p.add_argument("--max-steps", type=int, default=None)
     p.add_argument("--cfg-options", nargs="+", default=[],
@@ -26,11 +32,16 @@ def base_parser(desc: str) -> argparse.ArgumentParser:
 
 
 def load_cfg(args) -> dict:
+    # multi-host runtime must form BEFORE any jax backend use (the analog
+    # of the reference init_dist call, tools/train_detr_ssod.py:130-137)
+    maybe_initialize_distributed()
     cfg = load_config(args.config, parse_cfg_options(args.cfg_options))
     if args.work_dir:
         cfg["work_dir"] = args.work_dir
     if args.seed is not None:
         cfg["seed"] = args.seed
+    if getattr(args, "load_from", None):
+        cfg["load_from"] = args.load_from
     return cfg
 
 

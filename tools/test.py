@@ -60,6 +60,17 @@ def main():
         class_names=names)
     print(json.dumps({k: v for k, v in res.items()
                       if k != "AP_per_class"}, indent=2))
+    # classwise AP table (reference prints one via prettytable,
+    # submodules_evaluation.py:107-112 / mmdet classwise=True)
+    per_cls = [(n, ap) for n, ap in res.get("AP_per_class", {}).items()
+               if ap is not None]
+    if per_cls:
+        width = max(len(n) for n, _ in per_cls)
+        cols = 4
+        print("\nclasswise AP:")
+        for i in range(0, len(per_cls), cols):
+            print("  " + " | ".join(
+                f"{n:<{width}} {ap:0.3f}" for n, ap in per_cls[i:i + cols]))
     if args.out:
         with open(args.out, "w") as f:
             json.dump(res, f, indent=2)

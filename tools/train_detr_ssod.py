@@ -42,7 +42,10 @@ def main():
         bucket=tuple(cfg.get("bucket", (800, 1344))),
         scales=([tuple(s) for s in cfg["scales"]]
                 if cfg.get("scales") else None),
-        seed=cfg.get("seed", 0))
+        seed=cfg.get("seed", 0),
+        backbone_init=cfg.get("backbone_init"),
+        load_from=cfg.get("load_from"),
+        multi_bucket=bool(cfg.get("multi_bucket", False)))
     if args.resume_from or trainer.ckpt.latest_step() is not None:
         trainer.resume()
     trainer.train(max_steps=args.max_steps)
