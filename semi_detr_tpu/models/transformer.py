@@ -160,6 +160,8 @@ class MSDeformAttention(nn.Module):
         out = ms_deform_attn_auto(value, tuple(spatial_shapes),
                                   loc.astype(jnp.float32),
                                   attn.astype(jnp.float32))
+        from jax.ad_checkpoint import checkpoint_name
+        out = checkpoint_name(out, "msda_out")
         return nn.Dense(self.d_model, kernel_init=xavier_uniform,
                         name="output_proj")(out)
 
@@ -297,9 +299,18 @@ class DINOTransformer(nn.Module):
             (self.num_queries, self.d_model))
         self.enc_output = nn.Dense(self.d_model, kernel_init=xavier_uniform)
         self.enc_output_norm = nn.LayerNorm()
-        enc_cls = (nn.remat(EncoderLayer, static_argnums=(4,))
+        # Save the deform-attn outputs across remat (policy below): the
+        # Pallas gather kernel is the step's hot spot, so replaying it in
+        # the backward would cost ~a third of the attention budget for a
+        # ~23MB/layer activation. Everything else (projections, FFN,
+        # norms) is rematerialized as before.
+        msda_policy = jax.checkpoint_policies.save_only_these_names(
+            "msda_out")
+        enc_cls = (nn.remat(EncoderLayer, static_argnums=(4,),
+                            policy=msda_policy)
                    if self.remat else EncoderLayer)
-        dec_cls = (nn.remat(DecoderLayer, static_argnums=(5,))
+        dec_cls = (nn.remat(DecoderLayer, static_argnums=(5,),
+                            policy=msda_policy)
                    if self.remat else DecoderLayer)
         self.encoder_layers = [
             enc_cls(self.d_model, self.d_ffn, self.n_heads,

@@ -67,7 +67,7 @@ def main():
 
     t0 = time.time()
     state, metrics = step(state, batch, rng)
-    total = float(metrics["total"])
+    total = float(metrics["total_loss"])
     print(f"first step (compile): {time.time() - t0:.1f}s, "
           f"loss {total:.3f}")
 
@@ -75,7 +75,7 @@ def main():
     for _ in range(args.steps):
         t0 = time.time()
         state, metrics = step(state, batch, rng)
-        _ = float(metrics["total"])
+        _ = float(metrics["total_loss"])
         ts.append(time.time() - t0)
     med = sorted(ts)[len(ts) // 2]
     print(f"steady-state: {med * 1000:.0f} ms/step "
