@@ -35,11 +35,11 @@ bilinear gradients the reference hand-writes in its col2im kernels,
 from __future__ import annotations
 
 import functools
+import os
 from typing import Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -47,6 +47,15 @@ from .ms_deform_attn import ms_deform_attn as ms_deform_attn_xla
 
 _BQ = 128        # queries per grid step == lane width == window tokens
 _TH, _TW = 8, 16  # window tile: 8x16 pixels = 128 tokens
+
+# grad_value scatter-matmul precision: HIGHEST = 6-pass (bit-matches the
+# f32 scatter-add reference), HIGH = 3-pass (~2x MXU throughput, ~1e-6
+# relative error — still far above bf16 training noise). Env knob for
+# on-chip A/B; tests assert at 1e-4 so both settings pass.
+_BWD_MM_PRECISION = (jax.lax.Precision.HIGH
+                     if os.environ.get("SDT_BWD_MM_PRECISION",
+                                        "highest").lower() == "high"
+                     else jax.lax.Precision.HIGHEST)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -397,7 +406,7 @@ def _bwd_kernel(locx_ref, locy_ref, attn_ref, g_ref, gT_ref, value_ref,
             delta = jax.lax.dot_general(
                 C, gT, dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST)
+                precision=_BWD_MM_PRECISION)
             dv_ref[0, 0, wnd] = dv_ref[0, 0, wnd] + delta
             return da_l, dpx_l, dpy_l
 
@@ -485,18 +494,47 @@ def ms_deform_attn_bwd_pallas(value, spatial_shapes, sampling_locations,
     return d_value, d_loc, d_attn
 
 
+def ms_deform_attn_sorted(value, spatial_shapes, sampling_locations,
+                          attention_weights, _op=None):
+    """Decoder cross-attention through the Pallas kernel: queries are
+    box-conditioned (arbitrary positions), so first cluster them
+    spatially — sort by the tile-grid cell of their mean sampling
+    center — making each 128-query block touch a compact window
+    rectangle. The permutation is numerics-neutral (output is
+    inverse-permuted; the kernel is exact)."""
+    geom, _ = _tile_geom(spatial_shapes)
+    ntr, ntc = geom[0][4], geom[0][5]                     # level-0 grid
+    ctr = jax.lax.stop_gradient(
+        sampling_locations.mean(axis=(2, 3, 4)))          # (N, Lq, 2)
+    r = jnp.clip((ctr[..., 1] * ntr).astype(jnp.int32), 0, ntr - 1)
+    c = jnp.clip((ctr[..., 0] * ntc).astype(jnp.int32), 0, ntc - 1)
+    perm = jnp.argsort(r * ntc + c, axis=1)               # (N, Lq)
+    inv = jnp.argsort(perm, axis=1)
+    loc_s = jnp.take_along_axis(
+        sampling_locations, perm[:, :, None, None, None, None], axis=1)
+    attn_s = jnp.take_along_axis(
+        attention_weights, perm[:, :, None, None, None], axis=1)
+    op = _op if _op is not None else ms_deform_attn_fused
+    out = op(value, spatial_shapes, loc_s, attn_s)
+    return jnp.take_along_axis(out, inv[:, :, None], axis=1)
+
+
 def ms_deform_attn_auto(value, spatial_shapes, sampling_locations,
                         attention_weights, prefer_pallas: bool = True):
-    """Backend dispatch: the Pallas kernel on TPU when the sampling
-    pattern is local (encoder self-attention: one query per token), the
-    XLA oracle otherwise (CPU, interpret-free tests, decoder
-    cross-attention whose box-conditioned sampling defeats window
-    locality)."""
+    """Backend dispatch on TPU: the Pallas kernel directly for local
+    sampling (encoder self-attention: one query per token), the
+    sorted-query Pallas path for decoder cross-attention (few query
+    blocks, so even wide rectangles beat XLA's gather/scatter); the XLA
+    oracle elsewhere (CPU, interpret-free tests)."""
     on_tpu = jax.default_backend() == "tpu"
     local = sampling_locations.shape[1] == value.shape[1]  # Lq == S
-    if prefer_pallas and on_tpu and local:
-        return ms_deform_attn_fused(value, spatial_shapes,
-                                    sampling_locations, attention_weights)
+    if prefer_pallas and on_tpu:
+        if local:
+            return ms_deform_attn_fused(value, spatial_shapes,
+                                        sampling_locations,
+                                        attention_weights)
+        return ms_deform_attn_sorted(value, spatial_shapes,
+                                     sampling_locations, attention_weights)
     return ms_deform_attn_xla(value, spatial_shapes, sampling_locations,
                               attention_weights)
 

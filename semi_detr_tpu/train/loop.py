@@ -87,9 +87,11 @@ class SsodTrainer:
                  bucket=(800, 1344), scales=None, seed: int = 0,
                  use_mesh: bool = True, backbone_init: Optional[str] = None,
                  load_from: Optional[str] = None,
-                 multi_bucket: bool = False):
+                 multi_bucket: bool = False,
+                 epoch_length: int = 7330):
         self.cfg = cfg
         self.multi_bucket = multi_bucket
+        self.epoch_length = epoch_length
         self.scales = scales
         self.sup_dataset = sup_dataset
         self.unsup_dataset = unsup_dataset
@@ -144,6 +146,14 @@ class SsodTrainer:
         return self._steps[warm_up]
 
     def batches(self, start_step: int = 0):
+        """Epoch-seeded batch stream (reference semi_sampler reshuffles
+        every `epoch_length` steps via set_epoch, semi_sampler.py:82-84).
+
+        Resume is O(epoch): replay skips at most epoch_length - 1 sampler
+        draws, and the augment/bucket RNGs are seeded PER GLOBAL STEP, so
+        a resumed run reproduces the exact batches of an uninterrupted
+        one (multi-host shards agree on step bucket by construction)."""
+        import itertools
         r_sup, r_unsup = self.sample_ratio
         scale = self.samples_per_batch / (r_sup + r_unsup)
         n_sup = max(int(round(r_sup * scale)), 1)
@@ -152,35 +162,36 @@ class SsodTrainer:
             len(self.sup_dataset), len(self.unsup_dataset),
             self.sup_dataset.flags, self.unsup_dataset.flags,
             self.samples_per_batch, (n_sup, n_unsup),
-            epoch_length=10 ** 9, seed=self.seed,
+            epoch_length=self.epoch_length, seed=self.seed,
             # per-host disjoint slices of the same global step
             # (reference rank sharding, semi_sampler.py:185-187)
             num_shards=jax.process_count(), shard_id=jax.process_index())
-        rng = np.random.default_rng(self.seed + 7)
-        # advanced exactly once per step -> multi-host shards agree on the
-        # step bucket (see pick_step_bucket)
-        bucket_rng = np.random.default_rng(self.seed + 99)
-        for step, (sup_idx, unsup_idx, flag) in enumerate(sampler.epoch(0)):
-            scales = self.scales
-            if self.multi_bucket:
-                scale, bucket = pick_step_bucket(
-                    bucket_rng, self.scales or COCO_SCALES, self.bucket,
-                    flag)
-                scales = [scale]
-            else:
-                bucket = _bucket_for_flag(self.bucket, flag)
-            if step < start_step:
-                continue
-            sup = make_sup_batch(rng, self.sup_dataset,
-                                 _pad_indices(sup_idx, n_sup), bucket,
-                                 self.cfg.dino.max_gt, scales=scales)
-            unsup = make_unsup_batch(rng, self.unsup_dataset,
-                                     _pad_indices(unsup_idx, n_unsup),
-                                     bucket, self.cfg.dino.max_gt,
-                                     scales=scales)
-            sup.pop("image_ids", None)
-            unsup.pop("image_ids", None)
-            yield {"sup": sup, "unsup": unsup}
+        ep0, off = divmod(start_step, self.epoch_length)
+        for ep in itertools.count(ep0):
+            it = sampler.epoch(ep)
+            for i, (sup_idx, unsup_idx, flag) in enumerate(it):
+                if ep == ep0 and i < off:
+                    continue
+                step = ep * self.epoch_length + i
+                scales = self.scales
+                if self.multi_bucket:
+                    scale, bucket = pick_step_bucket(
+                        np.random.default_rng((self.seed, 99, step)),
+                        self.scales or COCO_SCALES, self.bucket, flag)
+                    scales = [scale]
+                else:
+                    bucket = _bucket_for_flag(self.bucket, flag)
+                rng = np.random.default_rng((self.seed, 7, step))
+                sup = make_sup_batch(rng, self.sup_dataset,
+                                     _pad_indices(sup_idx, n_sup), bucket,
+                                     self.cfg.dino.max_gt, scales=scales)
+                unsup = make_unsup_batch(rng, self.unsup_dataset,
+                                         _pad_indices(unsup_idx, n_unsup),
+                                         bucket, self.cfg.dino.max_gt,
+                                         scales=scales)
+                sup.pop("image_ids", None)
+                unsup.pop("image_ids", None)
+                yield {"sup": sup, "unsup": unsup}
 
     def resume(self):
         if self.ckpt.latest_step() is not None:

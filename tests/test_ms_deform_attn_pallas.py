@@ -92,3 +92,33 @@ def test_fused_gradients_match_oracle():
         fd = (loss_ref(vp, loc, aw) - loss_ref(vm, loc, aw)) / (2 * eps)
         np.testing.assert_allclose(float(g_ref[0][i]), float(fd),
                                    rtol=2e-2, atol=2e-2)
+
+
+def test_sorted_decoder_path_matches_oracle():
+    """Decoder dispatch: spatial query sort + kernel + inverse permute
+    must be numerics-neutral vs the oracle (arbitrary Lq != S)."""
+    import functools
+    from semi_detr_tpu.ops.ms_deform_attn_pallas import \
+        ms_deform_attn_sorted
+    rs = np.random.RandomState(7)
+    v, loc, aw = _inputs(rs, d=8, lq=50)
+    ref = ms_deform_attn(v, SHAPES, loc, aw)
+    got = ms_deform_attn_sorted(
+        v, SHAPES, loc, aw,
+        _op=functools.partial(ms_deform_attn_pallas, interpret=True))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_tile_untile_roundtrip():
+    """The tiled token permutation is a bijection on real tokens."""
+    from semi_detr_tpu.ops.ms_deform_attn_pallas import (_tile_tokens,
+                                                         _untile_tokens)
+    rs = np.random.RandomState(0)
+    shapes = ((13, 21), (7, 9))
+    s = sum(h * w for h, w in shapes)
+    x = jnp.asarray(rs.randn(2, s, 5).astype(np.float32))
+    t = _tile_tokens(x, shapes)
+    assert t.shape[1] % 128 == 0 and t.shape[1] >= s
+    back = _untile_tokens(t, shapes)
+    np.testing.assert_array_equal(np.asarray(back), np.asarray(x))

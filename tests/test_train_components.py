@@ -118,3 +118,61 @@ def test_combined_attn_mask_structure():
     assert not m[0, 10:].any()
     # dn group sees itself + matching only
     assert m[6, 0] and not m[6, 7] and not m[6, 10:].any()
+
+
+def test_ssod_batch_stream_epoch_resume():
+    """SsodTrainer.batches: epoch-seeded reshuffle (reference
+    semi_sampler.py:82-84) + O(epoch) resume reproducing the exact
+    uninterrupted stream (per-step-seeded aug/bucket RNGs)."""
+    from semi_detr_tpu.models.dino_head import DinoConfig
+    from semi_detr_tpu.models.ssod import SsodConfig
+    from semi_detr_tpu.train.loop import SsodTrainer
+
+    class FakeDs:
+        def __init__(self, n, seed):
+            from types import SimpleNamespace
+            rs = np.random.RandomState(seed)
+            self.flags = np.ones(n, np.int64)
+            self.imgs = [(rs.rand(32, 40, 3) * 255).astype(np.uint8)
+                         for _ in range(n)]
+            self.recs = [
+                SimpleNamespace(boxes=np.asarray([[4.0, 4.0, 20.0, 16.0]],
+                                                 np.float32),
+                                labels=np.asarray([0], np.int32), id=i)
+                for i in range(n)]
+
+        def __len__(self):
+            return len(self.imgs)
+
+        def __getitem__(self, i):
+            return self.recs[i]
+
+        def load_image(self, i):
+            return self.imgs[i].copy()
+
+    t = SsodTrainer.__new__(SsodTrainer)
+    t.cfg = SsodConfig(dino=DinoConfig(num_classes=1, max_gt=4))
+    t.sup_dataset = FakeDs(6, 0)
+    t.unsup_dataset = FakeDs(9, 1)
+    t.samples_per_batch = 3
+    t.sample_ratio = (1, 2)
+    t.seed = 3
+    t.scales = [(24, 32)]
+    t.multi_bucket = False
+    t.bucket = (32, 40)
+    t.epoch_length = 4
+
+    def grab(gen, n):
+        return [next(gen) for _ in range(n)]
+
+    full = grab(t.batches(0), 10)
+    resumed = grab(t.batches(6), 4)
+    for a, b in zip(full[6:], resumed):
+        np.testing.assert_array_equal(a["sup"]["images"],
+                                      b["sup"]["images"])
+        np.testing.assert_array_equal(a["unsup"]["student_images"],
+                                      b["unsup"]["student_images"])
+    # epochs reshuffle: two consecutive epochs differ somewhere
+    e0 = np.concatenate([b["sup"]["images"].ravel() for b in full[:4]])
+    e1 = np.concatenate([b["sup"]["images"].ravel() for b in full[4:8]])
+    assert not np.array_equal(e0, e1)

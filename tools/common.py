@@ -7,6 +7,17 @@ import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+# Respect an explicit JAX_PLATFORMS env var: some TPU-terminal site
+# hooks (axon) force jax_platforms at interpreter start, which silently
+# moves "CPU" runs onto the shared chip. Pin it back before any backend
+# initialization (same workaround as __graft_entry__.dryrun_multichip).
+if os.environ.get("JAX_PLATFORMS"):
+    import jax
+    try:
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    except Exception:
+        pass
+
 from semi_detr_tpu.data.coco import COCO_CLASSES, VOC_CLASSES, CocoDataset
 from semi_detr_tpu.models.dino_head import DinoConfig
 from semi_detr_tpu.models.ssod import SsodConfig

@@ -45,7 +45,8 @@ def main():
         seed=cfg.get("seed", 0),
         backbone_init=cfg.get("backbone_init"),
         load_from=cfg.get("load_from"),
-        multi_bucket=bool(cfg.get("multi_bucket", False)))
+        multi_bucket=bool(cfg.get("multi_bucket", False)),
+        epoch_length=int(sched.get("epoch_length", 7330)))
     if args.resume_from or trainer.ckpt.latest_step() is not None:
         trainer.resume()
     trainer.train(max_steps=args.max_steps)
