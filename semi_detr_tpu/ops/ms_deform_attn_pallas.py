@@ -57,6 +57,12 @@ _BWD_MM_PRECISION = (jax.lax.Precision.HIGH
                                         "highest").lower() == "high"
                      else jax.lax.Precision.HIGHEST)
 
+# Profiling-only knobs (WRONG OUTPUTS when set — never set in training):
+# ablate kernel stages to attribute time in attn_kernel_bench.py.
+_SKIP_DLOC = os.environ.get("SDT_BWD_SKIP_DLOC") == "1"   # no da/dloc dots
+_SKIP_DV = os.environ.get("SDT_BWD_SKIP_DV") == "1"       # no C/matmul/dv
+_FWD_NO_GATHER = os.environ.get("SDT_FWD_NO_GATHER") == "1"
+
 
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
@@ -228,7 +234,8 @@ def _fwd_kernel(locx_ref, locy_ref, attn_ref, value_ref, out_ref, *,
             for ci in range(4):
                 m_all = jnp.where(wins[ci] == wnd, wgts[ci], 0.0)
                 for p in range(P):
-                    g = _gather(tile, lanes[ci][p:p + 1], D)
+                    g = (tile if _FWD_NO_GATHER
+                         else _gather(tile, lanes[ci][p:p + 1], D))
                     acc = acc + g * m_all[p:p + 1]
             return acc
 
@@ -392,22 +399,26 @@ def _bwd_kernel(locx_ref, locy_ref, attn_ref, g_ref, gT_ref, value_ref,
                     lane_r = lanes[ci][p:p + 1]          # (1, BQ)
                     gath = _gather(tile, lane_r, D)
                     dots.append(jnp.sum(g * gath, axis=0, keepdims=True))
-                    onehot = iota_tok == jnp.broadcast_to(lane_r,
-                                                          (_BQ, _BQ))
-                    C = C + jnp.where(
-                        onehot,
-                        jnp.broadcast_to(m_all[p:p + 1], (_BQ, _BQ)), 0.0)
-                dot = jnp.where(hit, jnp.concatenate(dots, 0), 0.0)
-                da_l = da_l + bws[ci] * dot
-                dpx_l = dpx_l + dwxs[ci] * dot
-                dpy_l = dpy_l + dwys[ci] * dot
-            # HIGHEST: grad_value must match the f32 scatter-add; the
-            # MXU's default bf16 passes would round C and g.
-            delta = jax.lax.dot_general(
-                C, gT, dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=_BWD_MM_PRECISION)
-            dv_ref[0, 0, wnd] = dv_ref[0, 0, wnd] + delta
+                    if not _SKIP_DV:
+                        onehot = iota_tok == jnp.broadcast_to(lane_r,
+                                                              (_BQ, _BQ))
+                        C = C + jnp.where(
+                            onehot,
+                            jnp.broadcast_to(m_all[p:p + 1], (_BQ, _BQ)),
+                            0.0)
+                if not _SKIP_DLOC:
+                    dot = jnp.where(hit, jnp.concatenate(dots, 0), 0.0)
+                    da_l = da_l + bws[ci] * dot
+                    dpx_l = dpx_l + dwxs[ci] * dot
+                    dpy_l = dpy_l + dwys[ci] * dot
+            if not _SKIP_DV:
+                # HIGHEST: grad_value must match the f32 scatter-add; the
+                # MXU's default bf16 passes would round C and g.
+                delta = jax.lax.dot_general(
+                    C, gT, dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=_BWD_MM_PRECISION)
+                dv_ref[0, 0, wnd] = dv_ref[0, 0, wnd] + delta
             return da_l, dpx_l, dpy_l
 
         zeros = jnp.zeros((P, _BQ), jnp.float32)

@@ -1,0 +1,45 @@
+#!/bin/bash
+# One-shot on-chip benchmark sweep. Polls until the axon tunnel answers,
+# then runs each benchmark SEQUENTIALLY in its own process (two
+# concurrent axon clients can wedge the relay — see verify SKILL.md).
+# Usage: bash tools/benchmarks/sweep_on_chip.sh [logfile]
+set -u
+cd "$(dirname "$0")/../.."
+LOG=${1:-/tmp/sweep_on_chip.log}
+export JAX_COMPILATION_CACHE_DIR=/tmp/jax_cache
+export JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS=1
+
+probe() {
+  timeout 60 python -c "
+import jax, jax.numpy as jnp
+print('tpu alive:', float((jnp.ones((8,8))@jnp.ones((8,8))).sum()))" \
+    >/dev/null 2>&1
+}
+
+echo "[sweep] waiting for TPU..." | tee -a "$LOG"
+until probe; do sleep 180; done
+echo "[sweep] TPU alive at $(date)" | tee -a "$LOG"
+
+run() {
+  echo "=== $* ($(date +%H:%M:%S))" >> "$LOG"
+  timeout 2700 "$@" >> "$LOG" 2>&1
+  echo "=== exit $? ===" >> "$LOG"
+}
+
+# 1. kernel microbench (v2 baseline + parity)
+run python tools/benchmarks/attn_kernel_bench.py --iters 5 --skip-xla
+# 2. bwd matmul precision A/B
+SDT_BWD_MM_PRECISION=high run python tools/benchmarks/attn_kernel_bench.py \
+  --iters 5 --skip-xla --skip-parity
+# 3. stage attribution (outputs wrong by design; timing only)
+SDT_BWD_SKIP_DLOC=1 run python tools/benchmarks/attn_kernel_bench.py \
+  --iters 5 --skip-xla --skip-parity
+SDT_BWD_SKIP_DV=1 run python tools/benchmarks/attn_kernel_bench.py \
+  --iters 5 --skip-xla --skip-parity
+SDT_FWD_NO_GATHER=1 run python tools/benchmarks/attn_kernel_bench.py \
+  --iters 5 --skip-xla --skip-parity
+# 4. flagship supervised train step
+run python tools/benchmarks/train_step_bench.py --batch 2 --steps 5
+# 5. the driver metric
+run python bench.py
+echo "[sweep] done at $(date)" | tee -a "$LOG"
