@@ -58,8 +58,10 @@ def pick_step_bucket(bucket_rng, scales, base_bucket, flag):
     scale = tuple(scales[int(bucket_rng.integers(len(scales)))])
     short = min(scale)
     long_side = max(base_bucket)
-    bh = next((s for s in BUCKET_SHORTS if s >= short),
-              min(max(base_bucket), max(BUCKET_SHORTS)))
+    # fallback = the configured bucket's short side: custom scale sets
+    # with short > max(BUCKET_SHORTS) must still get a bucket that FITS
+    # the resize (keep-ratio resize short side <= scale short <= bh)
+    bh = next((s for s in BUCKET_SHORTS if s >= short), min(base_bucket))
     bh = min(bh, min(base_bucket))
     bucket = (bh, long_side) if flag == 1 else (long_side, bh)
     return scale, bucket

@@ -161,7 +161,9 @@ def _corner_terms(locx, locy, attn, spatial_shapes, n_points):
     y0 = y0f.astype(jnp.int32)
     wsi = wsv.astype(jnp.int32)
     hsi = hsv.astype(jnp.int32)
-    live = attn > 0.0
+    # live: excludes ONLY sentinel-padded queries (attn == -1); real taps
+    # with attn == 0 stay in the rectangles so d_attn matches the oracle
+    live = attn >= 0.0
     big = jnp.int32(2 ** 30)
 
     corners = []
@@ -218,11 +220,12 @@ def _fwd_kernel(locx_ref, locy_ref, attn_ref, value_ref, out_ref, *,
     corners, _, _ = _corner_terms(locx_ref[0, 0], locy_ref[0, 0], attn,
                                   spatial_shapes, P)
 
+    attn_c = jnp.maximum(attn, 0.0)         # clamp the -1 pad sentinel
     acc = jnp.zeros((D, _BQ), jnp.float32)
     for l, (h, w, hp, wp, ntr, ntc, _, tstart) in enumerate(geom):
         lo, hi = l * P, (l + 1) * P
         rmin, cmin, ncol, total = _level_rect(corners, lo, hi)
-        wgts = [c["bw"][lo:hi] * attn[lo:hi] for c in corners]  # (P, BQ)
+        wgts = [c["bw"][lo:hi] * attn_c[lo:hi] for c in corners]  # (P, BQ)
         wins = [c["win"][lo:hi] for c in corners]
         lanes = [c["lane"][lo:hi] for c in corners]
 
@@ -258,15 +261,20 @@ def _prep_inputs(value, spatial_shapes, sampling_locations,
     if tiled_q:
         # encoder self-attention: queries are the tokens — permute them
         # into tile order so each 128-query block is an 8x16px patch.
-        # Zero-padded rows have attn == 0 -> excluded from rectangles.
+        # Padded rows get the sentinel attn == -1 (the +1/-1 trick rides
+        # the zero-padding) -> excluded from sweep rectangles while REAL
+        # taps with attn exactly 0 keep their oracle-exact d_attn.
+        # Constraint (documented): attention_weights must be >= 0
+        # (softmax outputs) — negative values are reserved for padding.
         loc = _tile_tokens(loc, spatial_shapes)
-        attn = _tile_tokens(attn, spatial_shapes)
+        attn = _tile_tokens(attn + 1.0, spatial_shapes) - 1.0
         lq_t = attn.shape[1]
     else:
         lq_t = _round_up(Lq, _BQ)
         if lq_t != Lq:
             loc = jnp.pad(loc, ((0, 0), (0, lq_t - Lq)) + ((0, 0),) * 4)
-            attn = jnp.pad(attn, ((0, 0), (0, lq_t - Lq)) + ((0, 0),) * 3)
+            attn = jnp.pad(attn, ((0, 0), (0, lq_t - Lq)) + ((0, 0),) * 3,
+                           constant_values=-1.0)
 
     # Mosaic's dynamic_gather is 32-bit: keep the slab f32 in-kernel.
     v = _tile_tokens(value.astype(jnp.float32), spatial_shapes)
@@ -375,7 +383,7 @@ def _bwd_kernel(locx_ref, locy_ref, attn_ref, g_ref, gT_ref, value_ref,
     for l, (h, w, hp, wp, ntr, ntc, _, tstart) in enumerate(geom):
         lo, hi = l * P, (l + 1) * P
         rmin, cmin, ncol, total = _level_rect(corners, lo, hi)
-        at = attn[lo:hi]                                 # (P, BQ)
+        at = jnp.maximum(attn[lo:hi], 0.0)               # (P, BQ), -1 pad
         bws = [c["bw"][lo:hi] for c in corners]
         dwxs = [c["dwx"][lo:hi] * at for c in corners]
         dwys = [c["dwy"][lo:hi] * at for c in corners]

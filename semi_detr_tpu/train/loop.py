@@ -119,23 +119,27 @@ class SsodTrainer:
         self.tx = optim.make_optimizer(state.params, base_lr=lr,
                                        lr_boundaries=lr_boundaries)
         self.state = state.replace(opt_state=self.tx.init(state.params))
-        if backbone_init:
-            from .checkpoint import apply_backbone_init
-            self.state = apply_backbone_init(self.state, backbone_init,
-                                             ssod=True)
-        if load_from:
-            from .checkpoint import apply_warm_start, load_warm_start
-            self.state = apply_warm_start(
-                self.state, load_warm_start(load_from, cfg.dino.n_heads),
-                ssod=True)
+        self.logger = MetricsLogger(work_dir)
+        self.ckpt = CheckpointManager(work_dir + "/ckpt",
+                                      interval=ckpt_interval)
+        # warm-start only on a FRESH run: if the work dir already has a
+        # checkpoint, resume() will overwrite these weights anyway — skip
+        # the (potentially minutes-long) torch-load + conversion
+        if self.ckpt.latest_step() is None:
+            if backbone_init:
+                from .checkpoint import apply_backbone_init
+                self.state = apply_backbone_init(self.state, backbone_init,
+                                                 ssod=True)
+            if load_from:
+                from .checkpoint import apply_warm_start, load_warm_start
+                self.state = apply_warm_start(
+                    self.state,
+                    load_warm_start(load_from, cfg.dino.n_heads),
+                    ssod=True)
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
             self.state = jax.device_put(
                 self.state, NamedSharding(self.mesh, P()))
-
-        self.logger = MetricsLogger(work_dir)
-        self.ckpt = CheckpointManager(work_dir + "/ckpt",
-                                      interval=ckpt_interval)
         self._steps = {}
 
     def _get_step(self, warm_up: bool):
@@ -175,10 +179,10 @@ class SsodTrainer:
                 step = ep * self.epoch_length + i
                 scales = self.scales
                 if self.multi_bucket:
-                    scale, bucket = pick_step_bucket(
+                    step_scale, bucket = pick_step_bucket(
                         np.random.default_rng((self.seed, 99, step)),
                         self.scales or COCO_SCALES, self.bucket, flag)
-                    scales = [scale]
+                    scales = [step_scale]
                 else:
                     bucket = _bucket_for_flag(self.bucket, flag)
                 rng = np.random.default_rng((self.seed, 7, step))
@@ -271,22 +275,24 @@ class SupervisedTrainer:
                                        lr_boundaries=lr_boundaries)
         self.state = TrainState.create(variables, self.tx,
                                        with_teacher=with_teacher)
-        if backbone_init:
-            from .checkpoint import apply_backbone_init
-            self.state = apply_backbone_init(self.state, backbone_init,
-                                             ssod=False)
-        if load_from:
-            from .checkpoint import apply_warm_start, load_warm_start
-            self.state = apply_warm_start(
-                self.state, load_warm_start(load_from, cfg.n_heads),
-                ssod=False)
+        self.logger = MetricsLogger(work_dir)
+        self.ckpt = CheckpointManager(work_dir + "/ckpt",
+                                      interval=ckpt_interval)
+        # warm-start only on a fresh run (see SsodTrainer)
+        if self.ckpt.latest_step() is None:
+            if backbone_init:
+                from .checkpoint import apply_backbone_init
+                self.state = apply_backbone_init(self.state, backbone_init,
+                                                 ssod=False)
+            if load_from:
+                from .checkpoint import apply_warm_start, load_warm_start
+                self.state = apply_warm_start(
+                    self.state, load_warm_start(load_from, cfg.n_heads),
+                    ssod=False)
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
             self.state = jax.device_put(
                 self.state, NamedSharding(self.mesh, P()))
-        self.logger = MetricsLogger(work_dir)
-        self.ckpt = CheckpointManager(work_dir + "/ckpt",
-                                      interval=ckpt_interval)
         self._steps = {}
 
     def _get_step(self, warm_up: bool):

@@ -171,3 +171,18 @@ def test_pick_step_bucket():
         seen.add(bucket)
     # the 11 scales quantize onto exactly 3 landscape buckets
     assert seen == {(544, 1344), (672, 1344), (800, 1344)}
+
+
+def test_pick_step_bucket_custom_large_scales():
+    """Custom scale sets with short side above max(BUCKET_SHORTS) must
+    still produce a bucket the keep-ratio resize fits into (regression:
+    the fallback used to cap at 800)."""
+    from semi_detr_tpu.data.pipeline import pick_step_bucket
+    rng = np.random.default_rng(0)
+    scale, bucket = pick_step_bucket(rng, [(900, 1500)], (900, 1504), 1)
+    assert scale == (900, 1500)
+    assert bucket == (900, 1504)
+    # portrait flag transposes
+    _, bp = pick_step_bucket(np.random.default_rng(0), [(900, 1500)],
+                             (900, 1504), 0)
+    assert bp == (1504, 900)

@@ -122,3 +122,27 @@ def test_tile_untile_roundtrip():
     assert t.shape[1] % 128 == 0 and t.shape[1] >= s
     back = _untile_tokens(t, shapes)
     np.testing.assert_array_equal(np.asarray(back), np.asarray(x))
+
+
+def test_zero_attn_tap_gradient_matches_oracle():
+    """A VALID tap with attention weight exactly 0 in an otherwise
+    untouched window must still get its oracle d_attn (regression: the
+    padding-exclusion mask used to drop it from the sweep rectangle)."""
+    from semi_detr_tpu.ops.ms_deform_attn_pallas import \
+        ms_deform_attn_bwd_pallas
+    rs = np.random.RandomState(11)
+    v, loc, aw = _inputs(rs, d=8, lq=16)
+    # all taps cluster top-left; one zero-weight tap points far away
+    loc = loc * 0.2
+    loc = loc.at[0, 3, 1, 1, 2].set(jnp.asarray([0.95, 0.95]))
+    aw = aw.at[0, 3, 1, 1, 2].set(0.0)
+    g = jnp.asarray(rs.randn(1, 16, 2 * 8).astype(np.float32))
+    _, vjp = jax.vjp(lambda vv, l, a: ms_deform_attn(vv, SHAPES, l, a),
+                     v, loc, aw)
+    _, _, da_ref = vjp(g)
+    _, _, da = ms_deform_attn_bwd_pallas(v, SHAPES, loc, aw, g,
+                                         interpret=True)
+    ref = float(da_ref[0, 3, 1, 1, 2])
+    got = float(da[0, 3, 1, 1, 2])
+    assert abs(ref) > 1e-6, "test setup: tap gradient should be nonzero"
+    np.testing.assert_allclose(got, ref, rtol=1e-4)

@@ -25,7 +25,7 @@ from semi_detr_tpu.train.ssod import init_ssod_state
 def main():
     p = base_parser(__doc__)
     p.add_argument("--checkpoint", default=None,
-                   help="checkpoint dir (default: work_dir/ckpt)")
+                   help="checkpoint: orbax dir (default: work_dir/ckpt) or a converted reference .pth")
     p.add_argument("--inference-on", default="teacher",
                    choices=["teacher", "student"])
     p.add_argument("--out", default=None, help="json results path")
@@ -43,10 +43,19 @@ def main():
     template = init_ssod_state(
         detector, projector, optax.identity(), scfg, jax.random.PRNGKey(0),
         jnp.zeros((1, 64, 64, 3)), jnp.asarray([[64, 64]], jnp.int32))
-    ckpt = CheckpointManager(args.checkpoint or cfg["work_dir"] + "/ckpt")
-    state = ckpt.restore(template)
-    step = int(state.step)
-    use_nms = step < scfg.warm_up_step
+    src = args.checkpoint or args.load_from
+    if src and src.endswith((".pth", ".pt")):
+        # converted reference/torch checkpoint (teacher/student layout,
+        # utils.torch_weights): fully-trained -> main-stage top-k decode
+        from semi_detr_tpu.train.checkpoint import (apply_warm_start,
+                                                    load_warm_start)
+        state = apply_warm_start(
+            template, load_warm_start(src, scfg.dino.n_heads), ssod=True)
+        use_nms = False
+    else:
+        ckpt = CheckpointManager(src or cfg["work_dir"] + "/ckpt")
+        state = ckpt.restore(template)
+        use_nms = int(state.step) < scfg.warm_up_step
 
     params = (state.teacher_params if args.inference_on == "teacher"
               else state.params["detector"])
