@@ -146,3 +146,26 @@ def test_zero_attn_tap_gradient_matches_oracle():
     got = float(da[0, 3, 1, 1, 2])
     assert abs(ref) > 1e-6, "test setup: tap gradient should be nonzero"
     np.testing.assert_allclose(got, ref, rtol=1e-4)
+
+
+def test_sorted_path_gradients_match_oracle():
+    """Gradients flow through the sort/inverse-permute wrapper exactly
+    (argsort is non-differentiable; take_along_axis carries the vjp)."""
+    from semi_detr_tpu.ops.ms_deform_attn_pallas import \
+        ms_deform_attn_sorted
+    rs = np.random.RandomState(9)
+    v, loc, aw = _inputs(rs, d=8, lq=30)
+
+    def loss_sorted(v, loc, aw):
+        out = ms_deform_attn_sorted(v, SHAPES, loc, aw,
+                                    _op=ms_deform_attn)
+        return (out ** 2).sum()
+
+    def loss_ref(v, loc, aw):
+        return (ms_deform_attn(v, SHAPES, loc, aw) ** 2).sum()
+
+    gs = jax.grad(loss_sorted, argnums=(0, 1, 2))(v, loc, aw)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(v, loc, aw)
+    for a, b in zip(gs, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)

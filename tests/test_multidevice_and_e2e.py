@@ -103,31 +103,9 @@ def test_mesh_equivalence_1dev_vs_8dev():
 # --------------------------------------------------------------------------
 
 def _write_tiny_dataset(root, n=8, hw=(96, 128), seed=0):
-    """Synthetic COCO: one bright rectangle per image on dark noise."""
-    import cv2
-    rs = np.random.RandomState(seed)
-    img_dir = os.path.join(root, "images")
-    os.makedirs(img_dir, exist_ok=True)
-    images, anns = [], []
-    h, w = hw
-    for i in range(1, n + 1):
-        img = (rs.rand(h, w, 3) * 40).astype(np.uint8)
-        bw, bh = int(rs.uniform(30, 50)), int(rs.uniform(24, 40))
-        x = int(rs.uniform(0, w - bw))
-        y = int(rs.uniform(0, h - bh))
-        img[y:y + bh, x:x + bw] = (220, 60, 60)
-        cv2.imwrite(os.path.join(img_dir, f"{i}.jpg"), img)
-        images.append({"id": i, "file_name": f"{i}.jpg",
-                       "width": w, "height": h})
-        anns.append({"id": i, "image_id": i, "category_id": 1,
-                     "bbox": [x, y, bw, bh], "area": bw * bh,
-                     "iscrowd": 0})
-    ann = {"images": images, "annotations": anns,
-           "categories": [{"id": 1, "name": "person"}]}
-    path = os.path.join(root, "ann.json")
-    with open(path, "w") as f:
-        json.dump(ann, f)
-    return path, img_dir
+    """Synthetic COCO via the framework generator (data.synthetic)."""
+    from semi_detr_tpu.data.synthetic import write_synthetic_coco
+    return write_synthetic_coco(root, n=n, hw=hw, seed=seed)
 
 
 @pytest.mark.slow
