@@ -57,8 +57,16 @@ def maybe_initialize_distributed() -> bool:
         return False
     if jax.distributed.is_initialized():   # idempotent
         return True
-    jax.distributed.initialize()   # reads JAX_COORDINATOR_ADDRESS/
-    return True                    # JAX_NUM_PROCESSES/JAX_PROCESS_ID
+    # jax.distributed.initialize reads JAX_COORDINATOR_ADDRESS itself but
+    # NOT JAX_NUM_PROCESSES / JAX_PROCESS_ID (those come from cluster
+    # auto-detection, absent on bare launches) — pass them explicitly
+    # when the launch script (tools/launch_tpu.sh) provides them.
+    num = os.environ.get("JAX_NUM_PROCESSES")
+    pid = os.environ.get("JAX_PROCESS_ID")
+    jax.distributed.initialize(
+        num_processes=int(num) if num else None,
+        process_id=int(pid) if pid else None)
+    return True
 
 
 def shard_batch(batch, mesh: Mesh, axis: str = "data"):
