@@ -16,3 +16,16 @@ the upstream repo (mounted read-only at /root/reference).
 """
 
 __version__ = "0.1.0"
+
+# Honor an explicit JAX_PLATFORMS=cpu: some TPU-terminal site hooks
+# (axon) force jax_platforms at interpreter start, silently moving
+# CPU-intended runs onto the shared chip. Restoring the user's explicit
+# choice here covers every entry point (CLIs, demo, api, tests).
+import os as _os
+
+if _os.environ.get("JAX_PLATFORMS", "").lower() == "cpu":
+    import jax as _jax
+    try:
+        _jax.config.update("jax_platforms", "cpu")
+    except Exception:
+        pass
