@@ -109,8 +109,8 @@ class Predictor:
         boxes, scores, labels = jax.device_get(self._predict(
             self.variables, p.image[None], p.hw[None]))
         keep = scores[0] > score_thr
-        return boxes[0][keep] / p.scale_factor, scores[0][keep], \
-            labels[0][keep]
+        return (boxes[0][keep] / np.tile(p.scale_factor, 2),
+                scores[0][keep], labels[0][keep])
 
 
 def inference_detector(predictor: Predictor, image, **kw):

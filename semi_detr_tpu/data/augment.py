@@ -20,7 +20,7 @@ the pipeline is reproducible and shardable per host.
 """
 from __future__ import annotations
 
-from dataclasses import dataclass, replace
+from dataclasses import dataclass, field, replace
 from typing import Sequence, Tuple
 
 import numpy as np
@@ -40,7 +40,10 @@ class Sample:
     boxes: np.ndarray               # (n, 4) xyxy float32
     labels: np.ndarray              # (n,) int64
     matrix: np.ndarray              # (3, 3) float64 accumulated transform
-    scale_factor: float = 1.0
+    # per-axis (fx, fy): int-rounded keep-ratio resize makes nh/h differ
+    # slightly from nw/w, and mmdet rescales by [fx, fy, fx, fy]
+    scale_factor: np.ndarray = field(
+        default_factory=lambda: np.ones(2, np.float32))
 
 
 def _compose(sample: Sample, t: np.ndarray) -> np.ndarray:
@@ -90,7 +93,8 @@ def resize(sample: Sample, scale: Tuple[int, int]) -> Sample:
     t = np.array([[fx, 0, 0], [0, fy, 0], [0, 0, 1]], np.float64)
     boxes = sample.boxes * np.array([fx, fy, fx, fy], np.float32)
     return replace(sample, img=img, boxes=boxes, matrix=_compose(sample, t),
-                   scale_factor=sample.scale_factor * fx)
+                   scale_factor=sample.scale_factor
+                   * np.array([fx, fy], np.float32))
 
 
 def rand_resize(rng: np.random.Generator, sample: Sample,

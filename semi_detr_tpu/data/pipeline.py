@@ -91,7 +91,7 @@ class PackedImage:
     valid: np.ndarray       # (G,) bool
     matrix: np.ndarray      # (3, 3) float32 transform matrix
     image_id: int = -1
-    scale_factor: float = 1.0
+    scale_factor: np.ndarray = None   # (2,) per-axis (fx, fy)
 
 
 def pack(sample: Sample, bucket: Tuple[int, int], max_gt: int,

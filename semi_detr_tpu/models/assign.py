@@ -90,7 +90,7 @@ def o2m_targets(cls_logits, bbox_pred, gt_boxes, gt_labels, gt_valid,
     align = jnp.where(gt_valid[None], align, 0.0)
 
     # top-k candidate queries per gt
-    cand_vals, cand_idx = jax.lax.top_k(align.T, topk)           # (G, k)
+    _, cand_idx = jax.lax.top_k(align.T, topk)           # (G, k)
     cand_mask = jnp.zeros((nq, g), bool)
     cand_mask = cand_mask.at[cand_idx.reshape(-1),
                              jnp.repeat(jnp.arange(g), topk)].set(True)

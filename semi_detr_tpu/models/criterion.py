@@ -62,6 +62,9 @@ def _layer_loss(cls_scores, bbox_preds, gt, warm_up: bool, num_classes: int,
         reg_avg = jnp.maximum(
             _pmean(tg.bbox_weights[..., 0].sum(), axis_name), 1.0)
     else:
+        # cls_avg is deliberately NOT pmean'd while reg_avg is: the
+        # reference defaults sync_cls_avg_factor=False (dino_detr_head.py
+        # :83,122) but always reduce_means the regression factor (:700-704)
         cls_avg = jnp.maximum(num_total_pos, 1.0)
         out[f"{prefix}loss_cls"] = CLS_W * losses.sigmoid_focal_loss(
             cls_scores, tg.labels, tg.label_weights, cls_avg, num_classes)
@@ -78,7 +81,7 @@ def _layer_loss(cls_scores, bbox_preds, gt, warm_up: bool, num_classes: int,
 
 
 def _dn_layer_loss(cls_scores, bbox_preds, gt, cdn: CdnBatch,
-                   groups: int, num_classes: int,
+                   num_classes: int,
                    axis_name: Optional[str], prefix: str) -> Dict[str, Any]:
     """DN loss for one decoder layer. Targets by construction from the
     static CDN layout."""
@@ -94,8 +97,14 @@ def _dn_layer_loss(cls_scores, bbox_preds, gt, cdn: CdnBatch,
     labels = labels.astype(jnp.int32)
 
     has_real = ~cdn.pad_mask                              # (B,)
-    label_weights = jnp.broadcast_to(
-        has_real[:, None].astype(jnp.float32), (B, pad))
+    # The reference pads every image's DN chunk to the BATCH max GT count
+    # and trains all those slots (background where unfilled) with label
+    # weight 1 (dino_detr_head.py:800-802); slots beyond the batch max do
+    # not exist there. Our static layout allocates dn_single_pad slots —
+    # weight exactly the reference's slots, zero the rest.
+    batch_max = jnp.max(gt["valid"].sum(axis=1))          # traced scalar
+    ref_slot = (gt_idx < jnp.maximum(batch_max, 1))[None]  # (1, pad)
+    label_weights = (has_real[:, None] & ref_slot).astype(jnp.float32)
 
     bbox_targets = jnp.take(gt["boxes"], gt_idx, axis=1)  # (B, pad, 4)
     pos_mask = (is_pos[None] & slot_real).astype(jnp.float32)
@@ -123,7 +132,7 @@ def _dn_layer_loss(cls_scores, bbox_preds, gt, cdn: CdnBatch,
 
 
 def detection_loss(outputs: Dict[str, Any], gt: Dict[str, Any],
-                   num_classes: int, dn_groups: int, warm_up: bool,
+                   num_classes: int, warm_up: bool,
                    axis_name: Optional[str] = None,
                    is_pseudo_label: bool = False) -> Dict[str, Any]:
     """Full DINO loss. `outputs` from DINODetector.__call__ (training mode
@@ -153,7 +162,7 @@ def detection_loss(outputs: Dict[str, Any], gt: Dict[str, Any],
                 prefix = "" if lid == n_dec - 1 else f"d{lid}."
                 out.update(_dn_layer_loss(
                     outputs["front_cls"][lid], outputs["front_coord"][lid],
-                    gt, outputs["cdn"], dn_groups, num_classes, axis_name,
+                    gt, outputs["cdn"], num_classes, axis_name,
                     prefix))
 
     out["total"] = sum(v for k, v in out.items() if "loss" in k)

@@ -99,6 +99,7 @@ def backbone_spatial_shapes(input_hw, n_levels: int = 4):
 
 class ClsHead(nn.Module):
     num_classes: int
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
@@ -106,7 +107,7 @@ class ClsHead(nn.Module):
         bias = -math.log((1 - prior) / prior)
         return nn.Dense(self.num_classes, kernel_init=xavier_uniform,
                         bias_init=nn.initializers.constant(bias),
-                        name="cls")(x)
+                        dtype=self.dtype, name="cls")(x)
 
 
 class DINODetector(nn.Module):
@@ -129,7 +130,10 @@ class DINODetector(nn.Module):
                                      padding=[(1, 1), (1, 1)],
                                      kernel_init=xavier_uniform,
                                      dtype=c.dtype, name=f"input_proj_{i}"))
-            norms.append(nn.GroupNorm(32, epsilon=1e-5,
+            # dtype matters: GroupNorm defaults to promoting against its
+            # f32 params, which would silently upcast the whole
+            # transformer input stream back to f32
+            norms.append(nn.GroupNorm(32, epsilon=1e-5, dtype=c.dtype,
                                       name=f"input_proj_gn_{i}"))
         self.input_projs = projs
         self.input_norms = norms
@@ -139,12 +143,14 @@ class DINODetector(nn.Module):
             num_encoder_layers=c.num_encoder_layers,
             num_decoder_layers=c.num_decoder_layers, d_ffn=c.d_ffn,
             n_levels=c.n_levels, enc_n_points=c.enc_n_points,
-            dec_n_points=c.dec_n_points, remat=c.remat)
+            dec_n_points=c.dec_n_points, remat=c.remat, dtype=c.dtype)
 
-        self.fc_cls = ClsHead(c.num_classes)            # shared across layers
-        self.fc_reg = Mlp(c.d_model, 4, 3, last_zero_init=True)
-        self.fc_enc_cls = ClsHead(c.num_classes)
-        self.fc_enc_reg = Mlp(c.d_model, 4, 3, last_zero_init=True)
+        self.fc_cls = ClsHead(c.num_classes, dtype=c.dtype)  # shared
+        self.fc_reg = Mlp(c.d_model, 4, 3, last_zero_init=True,
+                          dtype=c.dtype)
+        self.fc_enc_cls = ClsHead(c.num_classes, dtype=c.dtype)
+        self.fc_enc_reg = Mlp(c.d_model, 4, 3, last_zero_init=True,
+                              dtype=c.dtype)
 
         self.label_enc = self.param(
             "label_enc", nn.initializers.normal(1.0),
@@ -211,14 +217,14 @@ class DINODetector(nn.Module):
             enc["spatial_shapes"], tgt, refpoint_unsig, attn_mask,
             self.fc_reg)
 
-        all_cls = self.fc_cls(hs)                        # (n_dec, B, nq_t, K)
+        all_cls = self.fc_cls(hs).astype(jnp.float32)    # (n_dec, B, nq_t, K)
         all_coord = jax.nn.sigmoid(
-            self.fc_reg(hs) + inverse_sigmoid(refs[:-1]))
+            self.fc_reg(hs).astype(jnp.float32) + inverse_sigmoid(refs[:-1]))
 
         out = {
             "cls": all_cls[:, :, n_front:],
             "coord": all_coord[:, :, n_front:],
-            "enc_cls": enc["enc_out_class"],
+            "enc_cls": enc["enc_out_class"].astype(jnp.float32),
             "enc_coord": enc["enc_out_coord"],
             "hs": hs,
             "n_front": n_front,

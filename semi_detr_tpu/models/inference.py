@@ -68,10 +68,22 @@ def decode_nms(cls_logits, coords, img_hw, max_dets: int = 300):
                                img_hw.astype(jnp.float32))
 
 
+_PREDICT_CACHE: Dict[Tuple, object] = {}
+
+
 def make_predict_fn(detector: DINODetector, use_nms: bool = False,
                     max_dets: int = 300):
     """Returns jitted predict(variables, images, img_hw) ->
-    (boxes, scores, labels)."""
+    (boxes, scores, labels).
+
+    Memoized on (model config, decode mode): a fresh @jax.jit closure per
+    call would re-trace/re-compile the full forward at EVERY periodic
+    eval (x2 for teacher+student) across a 120k-step run. Params are an
+    argument, so teacher and student share one compiled program."""
+    key = (detector.cfg, use_nms, max_dets)
+    fn = _PREDICT_CACHE.get(key)
+    if fn is not None:
+        return fn
 
     @jax.jit
     def predict(variables, images, img_hw):
@@ -81,6 +93,7 @@ def make_predict_fn(detector: DINODetector, use_nms: bool = False,
             return decode_nms(cls, coord, img_hw, max_dets)
         return decode_topk(cls, coord, img_hw, max_dets)
 
+    _PREDICT_CACHE[key] = predict
     return predict
 
 
@@ -93,11 +106,12 @@ def run_eval(predict_fn, variables, batches: Iterable[Dict],
     for batch in batches:
         boxes, scores, labels = jax.device_get(predict_fn(
             variables, batch["images"], batch["img_hw"]))
-        sf = batch["scale_factors"]
+        sf = batch["scale_factors"]               # (B, 2) per-axis
         for i, img_id in enumerate(batch["image_ids"]):
             keep = scores[i] > score_thr
             results[int(img_id)] = (
-                boxes[i][keep] / sf[i], scores[i][keep], labels[i][keep])
+                boxes[i][keep] / np.tile(sf[i], 2), scores[i][keep],
+                labels[i][keep])
     return results
 
 

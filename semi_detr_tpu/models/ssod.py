@@ -125,7 +125,6 @@ def decode_pseudo_labels(cls_logits, coords, img_hw, cfg: SsodConfig):
     cxcywh; img_hw: (B, 2) valid extents. Returns PseudoLabels fields in the
     TEACHER frame (boxes_s left as a copy; caller transforms).
     """
-    b = cls_logits.shape[0]
 
     def per_image(logits, coord, hw):
         scores = jax.nn.sigmoid(logits)
@@ -141,7 +140,7 @@ def decode_pseudo_labels(cls_logits, coords, img_hw, cfg: SsodConfig):
         var = jnp.where(v, (s - mean) ** 2, 0.0).sum() / jnp.maximum(
             n - 1, 1)
         thr = mean + jnp.sqrt(var)
-        keep = v & (s >= thr) & jnp.where(v.sum() > 1, True, False)
+        keep = v & (s >= thr) & (v.sum() > 1)
         # degenerate-box filter (zero width/height after scaling)
         bx = nms["boxes"] * wh
         keep = keep & ((bx[:, 2] - bx[:, 0]) > 0) & ((bx[:, 3] - bx[:, 1])
@@ -160,7 +159,13 @@ def decode_pseudo_labels(cls_logits, coords, img_hw, cfg: SsodConfig):
 def transform_pseudo_to_student(pl: PseudoLabels, tmat_teacher,
                                 tmat_student, student_hw) -> PseudoLabels:
     """M = T_student @ inv(T_teacher); transform + clip (reference
-    `_get_trans_mat`/`_transform_bbox`, :804-811)."""
+    `_get_trans_mat`/`_transform_bbox`, :804-811).
+
+    Boxes whose student-view projection clips to zero area pass through
+    unfiltered — reference parity: dino_detr_ssod.py feeds the clipped
+    `pseudo_bboxes` straight into unsup_loss with no min-size filter
+    (its `filter_invalid` helper is never called there), and our
+    IoU/GIoU are eps-guarded against zero areas."""
     m = jnp.einsum("bij,bjk->bik", tmat_student,
                    jnp.linalg.inv(tmat_teacher))
     boxes_s = box_ops.transform_boxes(pl.boxes_t, m)

@@ -23,6 +23,7 @@ TPU-first deviations (behavior-preserving):
 from __future__ import annotations
 
 import math
+from typing import Any
 
 import flax.linen as nn
 import jax
@@ -96,18 +97,19 @@ class Mlp(nn.Module):
     out: int
     num_layers: int = 3
     last_zero_init: bool = False
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
         for i in range(self.num_layers - 1):
             x = nn.Dense(self.hidden, kernel_init=xavier_uniform,
-                         name=f"fc{i}")(x)
+                         dtype=self.dtype, name=f"fc{i}")(x)
             x = nn.relu(x)
         init = (nn.initializers.zeros if self.last_zero_init
                 else xavier_uniform)
         bias_init = nn.initializers.zeros
         return nn.Dense(self.out, kernel_init=init, bias_init=bias_init,
-                        name=f"fc{self.num_layers - 1}")(x)
+                        dtype=self.dtype, name=f"fc{self.num_layers - 1}")(x)
 
 
 class MSDeformAttention(nn.Module):
@@ -119,6 +121,7 @@ class MSDeformAttention(nn.Module):
     n_heads: int = 8
     n_levels: int = 4
     n_points: int = 4
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, query, reference_points, value_src, spatial_shapes,
@@ -130,19 +133,22 @@ class MSDeformAttention(nn.Module):
         D = self.d_model // M
 
         value = nn.Dense(self.d_model, kernel_init=xavier_uniform,
-                         name="value_proj")(value_src)
+                         dtype=self.dtype, name="value_proj")(value_src)
         if key_padding_mask is not None:
             value = jnp.where(key_padding_mask[..., None], 0.0, value)
         value = value.reshape(B, -1, M, D)
 
         off_bias = sampling_offsets_init_bias(M, L, P)
+        # offsets/attn logits in f32: sampling coordinates are
+        # precision-sensitive (bf16 has ~3 decimal digits)
         offsets = nn.Dense(M * L * P * 2,
                            kernel_init=nn.initializers.zeros,
                            bias_init=lambda *a: jnp.asarray(off_bias),
+                           dtype=jnp.float32,
                            name="sampling_offsets")(query)
         offsets = offsets.reshape(B, Lq, M, L, P, 2)
         attn = nn.Dense(M * L * P, kernel_init=nn.initializers.zeros,
-                        name="attention_weights")(query)
+                        dtype=jnp.float32, name="attention_weights")(query)
         attn = jax.nn.softmax(attn.reshape(B, Lq, M, L * P), axis=-1)
         attn = attn.reshape(B, Lq, M, L, P)
 
@@ -163,7 +169,7 @@ class MSDeformAttention(nn.Module):
         from jax.ad_checkpoint import checkpoint_name
         out = checkpoint_name(out, "msda_out")
         return nn.Dense(self.d_model, kernel_init=xavier_uniform,
-                        name="output_proj")(out)
+                        dtype=self.dtype, name="output_proj")(out)
 
 
 class EncoderLayer(nn.Module):
@@ -174,20 +180,22 @@ class EncoderLayer(nn.Module):
     n_heads: int = 8
     n_levels: int = 4
     n_points: int = 4
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, src, pos, reference_points, spatial_shapes,
                  key_padding_mask):
         h = MSDeformAttention(self.d_model, self.n_heads, self.n_levels,
-                              self.n_points, name="self_attn")(
+                              self.n_points, dtype=self.dtype,
+                              name="self_attn")(
             src + pos, reference_points, src, spatial_shapes,
             key_padding_mask)
-        src = nn.LayerNorm(name="norm1")(src + h)
+        src = nn.LayerNorm(dtype=self.dtype, name="norm1")(src + h)
         f = nn.Dense(self.d_ffn, kernel_init=xavier_uniform,
-                     name="linear1")(src)
+                     dtype=self.dtype, name="linear1")(src)
         f = nn.Dense(self.d_model, kernel_init=xavier_uniform,
-                     name="linear2")(nn.relu(f))
-        return nn.LayerNorm(name="norm2")(src + f)
+                     dtype=self.dtype, name="linear2")(nn.relu(f))
+        return nn.LayerNorm(dtype=self.dtype, name="norm2")(src + f)
 
 
 def encoder_reference_points(spatial_shapes, valid_ratios):
@@ -238,6 +246,7 @@ class DecoderLayer(nn.Module):
     n_heads: int = 8
     n_levels: int = 4
     n_points: int = 4
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, tgt, query_pos, reference_points_input, memory,
@@ -250,23 +259,25 @@ class DecoderLayer(nn.Module):
             attn_mask = ~self_attn_mask[None, None]
         h = nn.MultiHeadDotProductAttention(
             num_heads=self.n_heads, qkv_features=self.d_model,
-            kernel_init=xavier_uniform, name="self_attn")(
+            kernel_init=xavier_uniform, dtype=self.dtype,
+            name="self_attn")(
             inputs_q=q, inputs_k=q, inputs_v=tgt, mask=attn_mask)
-        tgt = nn.LayerNorm(name="norm2")(tgt + h)
+        tgt = nn.LayerNorm(dtype=self.dtype, name="norm2")(tgt + h)
 
         # cross attention
         h = MSDeformAttention(self.d_model, self.n_heads, self.n_levels,
-                              self.n_points, name="cross_attn")(
+                              self.n_points, dtype=self.dtype,
+                              name="cross_attn")(
             tgt + query_pos, reference_points_input, memory, spatial_shapes,
             memory_key_padding_mask)
-        tgt = nn.LayerNorm(name="norm1")(tgt + h)
+        tgt = nn.LayerNorm(dtype=self.dtype, name="norm1")(tgt + h)
 
         # ffn
         f = nn.Dense(self.d_ffn, kernel_init=xavier_uniform,
-                     name="linear1")(tgt)
+                     dtype=self.dtype, name="linear1")(tgt)
         f = nn.Dense(self.d_model, kernel_init=xavier_uniform,
-                     name="linear2")(nn.relu(f))
-        return nn.LayerNorm(name="norm3")(tgt + f)
+                     dtype=self.dtype, name="linear2")(nn.relu(f))
+        return nn.LayerNorm(dtype=self.dtype, name="norm3")(tgt + f)
 
 
 class DINOTransformer(nn.Module):
@@ -289,6 +300,7 @@ class DINOTransformer(nn.Module):
     # (the encoder's per-layer sampling tensors are ~300MB/layer at DINO
     # scale; remat is what makes flagship-scale training fit HBM)
     remat: bool = False
+    dtype: Any = None
 
     def setup(self):
         self.level_embed = self.param(
@@ -297,8 +309,9 @@ class DINOTransformer(nn.Module):
         self.tgt_embed = self.param(
             "tgt_embed", nn.initializers.normal(1.0),
             (self.num_queries, self.d_model))
-        self.enc_output = nn.Dense(self.d_model, kernel_init=xavier_uniform)
-        self.enc_output_norm = nn.LayerNorm()
+        self.enc_output = nn.Dense(self.d_model, kernel_init=xavier_uniform,
+                                   dtype=self.dtype)
+        self.enc_output_norm = nn.LayerNorm(dtype=self.dtype)
         # Save the deform-attn outputs across remat (policy below): the
         # Pallas gather kernel is the step's hot spot, so replaying it in
         # the backward would cost ~a third of the attention budget for a
@@ -314,16 +327,17 @@ class DINOTransformer(nn.Module):
                    if self.remat else DecoderLayer)
         self.encoder_layers = [
             enc_cls(self.d_model, self.d_ffn, self.n_heads,
-                    self.n_levels, self.enc_n_points,
+                    self.n_levels, self.enc_n_points, dtype=self.dtype,
                     name=f"enc_{i}")
             for i in range(self.num_encoder_layers)]
         self.decoder_layers = [
             dec_cls(self.d_model, self.d_ffn, self.n_heads,
-                    self.n_levels, self.dec_n_points,
+                    self.n_levels, self.dec_n_points, dtype=self.dtype,
                     name=f"dec_{i}")
             for i in range(self.num_decoder_layers)]
-        self.decoder_norm = nn.LayerNorm()
-        self.ref_point_head = Mlp(self.d_model, self.d_model, 2)
+        self.decoder_norm = nn.LayerNorm(dtype=self.dtype)
+        self.ref_point_head = Mlp(self.d_model, self.d_model, 2,
+                                  dtype=self.dtype)
 
     def encode(self, srcs, valid_masks, spatial_shapes,
                fc_enc_reg=None, fc_enc_cls=None):
@@ -350,6 +364,8 @@ class DINOTransformer(nn.Module):
             pos.append(p.reshape(B, -1, self.d_model)
                        + self.level_embed[lvl][None, None])
         pos_flat = jnp.concatenate(pos, 1)
+        if self.dtype is not None:
+            pos_flat = pos_flat.astype(self.dtype)
 
         # valid ratios (reference get_valid_ratio: first row/col of mask)
         vr = jnp.stack(
@@ -382,11 +398,10 @@ class DINOTransformer(nn.Module):
 
         ref_undetach = take(enc_coord_unsig)                   # unsigmoided
         refpoint_unsig = jax.lax.stop_gradient(ref_undetach)
-        init_box_proposal = jax.nn.sigmoid(take(
-            inverse_sigmoid(proposals)))
-        tgt_undetach = take(out_memory)
         tgt = jnp.broadcast_to(self.tgt_embed[None],
                                (B, self.num_queries, self.d_model))
+        if self.dtype is not None:
+            tgt = tgt.astype(self.dtype)
 
         return {
             "memory": memory,
@@ -394,9 +409,10 @@ class DINOTransformer(nn.Module):
             "valid_ratios": vr,
             "tgt": tgt,
             "refpoint_unsig": refpoint_unsig,
-            "enc_out_class": fc_enc_cls(tgt_undetach),
+            # == fc_enc_cls(take(out_memory)): gather commutes with the
+            # pointwise head, so reuse the logits computed above
+            "enc_out_class": take(enc_cls),
             "enc_out_coord": jax.nn.sigmoid(ref_undetach),
-            "init_box_proposal": init_box_proposal,
         }
 
     def decode(self, memory, pad_mask, valid_ratios, spatial_shapes,
@@ -410,7 +426,7 @@ class DINOTransformer(nn.Module):
         Returns (hs (n_dec, B, nq_t, C) normed, refs (n_dec+1, B, nq_t, 4)
         sigmoided).
         """
-        output = tgt
+        output = tgt if self.dtype is None else tgt.astype(self.dtype)
         reference = jax.nn.sigmoid(refpoint_unsig)
         refs = [reference]
         hs = []
@@ -427,29 +443,3 @@ class DINOTransformer(nn.Module):
             refs.append(new_ref)
             hs.append(self.decoder_norm(output))
         return jnp.stack(hs), jnp.stack(refs)
-
-    def __call__(self, srcs, valid_masks, spatial_shapes,
-                 dn_refpoint_unsig=None, dn_tgt=None, attn_mask=None,
-                 fc_reg=None, fc_cls=None, fc_enc_reg=None, fc_enc_cls=None):
-        """encode + (optional CDN prepend) + decode. Returns dict: hs
-        (n_dec, B, nq_t, C), refs (n_dec+1, B, nq_t, 4) sigmoided, memory,
-        enc_out_class (B, nq, #cls), enc_out_coord, init_box_proposal."""
-        enc = self.encode(srcs, valid_masks, spatial_shapes,
-                          fc_enc_reg=fc_enc_reg, fc_enc_cls=fc_enc_cls)
-        tgt, refpoint_unsig = enc["tgt"], enc["refpoint_unsig"]
-        if dn_refpoint_unsig is not None:
-            refpoint_unsig = jnp.concatenate(
-                [dn_refpoint_unsig, refpoint_unsig], 1)
-            tgt = jnp.concatenate([dn_tgt, tgt], 1)
-
-        hs, refs = self.decode(enc["memory"], enc["pad_mask"],
-                               enc["valid_ratios"], spatial_shapes,
-                               tgt, refpoint_unsig, attn_mask, fc_reg)
-        return {
-            "hs": hs,
-            "refs": refs,
-            "memory": enc["memory"],
-            "enc_out_class": enc["enc_out_class"],
-            "enc_out_coord": enc["enc_out_coord"],
-            "init_box_proposal": enc["init_box_proposal"],
-        }

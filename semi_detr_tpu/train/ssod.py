@@ -128,7 +128,7 @@ def _unsup_forward_and_loss(detector: DINODetector, projector: Projector,
         crit_out["front_coord"] = s_out["front_coord"][:, :, n_cons:]
 
     out_losses.update(detection_loss(
-        crit_out, unsup_gt, c.num_classes, c.dn_groups, warm_up,
+        crit_out, unsup_gt, c.num_classes, warm_up,
         is_pseudo_label=True))
     out_losses.pop("total")
 
@@ -196,8 +196,7 @@ def make_ssod_train_step(detector: DINODetector, projector: Projector,
                 batch["sup"]["images"], batch["sup"]["img_hw"],
                 gt=batch["sup"]["gt"], dn_rng=rng_sup)
             sup_losses = detection_loss(
-                sup_out, batch["sup"]["gt"], c.num_classes, c.dn_groups,
-                warm_up)
+                sup_out, batch["sup"]["gt"], c.num_classes, warm_up)
             sup_losses.pop("total")
             losses.update({f"sup_{k}": v for k, v in sup_losses.items()})
 

@@ -52,7 +52,7 @@ def make_supervised_train_step(model: DINODetector,
                 batch["images"], batch["img_hw"], gt=batch["gt"],
                 dn_rng=rng)
             losses = detection_loss(out, batch["gt"], cfg.num_classes,
-                                    cfg.dn_groups, warm_up)
+                                    warm_up)
             return losses["total"], losses
 
         (_, losses), grads = jax.value_and_grad(

@@ -127,14 +127,14 @@ def test_detection_loss_dn_zeroed_for_pseudo_in_warmup():
         rs.rand(b, g, 4).astype(np.float32) * .3 + .3),
         "labels": jnp.zeros((b, g), jnp.int32),
         "valid": jnp.asarray([[True, True, False, False]])}
-    warm_pseudo = detection_loss(outputs, gt, k, 2, warm_up=True,
+    warm_pseudo = detection_loss(outputs, gt, k, warm_up=True,
                                  is_pseudo_label=True)
     assert float(warm_pseudo["dn_loss_cls"]) == 0.0
     assert float(warm_pseudo["d0.dn_loss_iou"]) == 0.0
-    sup = detection_loss(outputs, gt, k, 2, warm_up=True,
+    sup = detection_loss(outputs, gt, k, warm_up=True,
                          is_pseudo_label=False)
     assert float(sup["dn_loss_cls"]) > 0.0
-    post = detection_loss(outputs, gt, k, 2, warm_up=False,
+    post = detection_loss(outputs, gt, k, warm_up=False,
                           is_pseudo_label=True)
     assert float(post["dn_loss_cls"]) > 0.0
     # every named loss appears per decoder layer

@@ -92,3 +92,34 @@ def test_backbone_shapes_match_static_arithmetic(model_and_params):
     srcs, shapes = model.apply(params, imgs,
                                method=DINODetector.forward_features_only)
     assert shapes == backbone_spatial_shapes((100, 150))
+
+
+def test_bf16_dtype_propagates_through_transformer():
+    """cfg.dtype=bfloat16 must reach the encoder/decoder compute stream
+    (regression: GroupNorm/Dense defaulted to f32 promotion, silently
+    running the whole transformer in f32)."""
+    import jax.numpy as jnp
+
+    from semi_detr_tpu.models.dino_head import DinoConfig, DINODetector
+
+    cfg = DinoConfig(num_classes=3, num_queries=12, d_model=64, n_heads=2,
+                     num_encoder_layers=1, num_decoder_layers=1, d_ffn=64,
+                     dn_single_pad=2, dn_groups=1, max_gt=4,
+                     dtype=jnp.bfloat16)
+    m = DINODetector(cfg)
+    imgs = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    hw = jnp.asarray([[64, 64]], jnp.int32)
+    variables = m.init({"params": jax.random.PRNGKey(0)}, imgs, hw)
+    out, inter = m.apply(variables, imgs, hw,
+                         capture_intermediates=lambda mdl, name: True,
+                         mutable=["intermediates"])
+    flat = jax.tree_util.tree_flatten_with_path(inter["intermediates"])[0]
+    enc_dtypes = [leaf.dtype for path, leaf in flat
+                  if any(getattr(k, "key", "") == "enc_0" for k in path)
+                  and hasattr(leaf, "dtype")]
+    assert enc_dtypes, "no encoder intermediates captured"
+    assert any(d == jnp.bfloat16 for d in enc_dtypes), enc_dtypes
+    # loss-facing outputs stay f32
+    assert out["cls"].dtype == jnp.float32
+    assert out["coord"].dtype == jnp.float32
+    assert jnp.isfinite(out["cls"].astype(jnp.float32)).all()
