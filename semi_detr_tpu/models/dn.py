@@ -75,6 +75,14 @@ def build_cdn_queries(rng: jax.Array, gt_boxes: jax.Array,
     sp = single_pad
     n_chunks = 2 * groups
     pad_size = sp * n_chunks
+    # surface the static-layout coupling at build time: callers size the
+    # GT arrays by max_gt (supervised) or max_pseudo (SSOD); fewer slots
+    # than single_pad would crash deep inside jit with a broadcast error,
+    # and more silently drops GTs >= single_pad from DN supervision
+    # (documented deviation from the reference's dynamic batch-max pad).
+    assert gt_boxes.shape[1] >= sp, (
+        f"gt capacity {gt_boxes.shape[1]} < dn_single_pad {sp}: set "
+        f"dn_single_pad <= max_gt / ssod.max_pseudo")
 
     k_fake, k_label, k_newl, k_sign, k_part = jax.random.split(rng, 5)
 
