@@ -1,6 +1,4 @@
 from .coco import CocoDataset
-from .pipeline import (WeakAugment, StrongAugment, make_sup_batch,
-                       make_unsup_batch)
+from .pipeline import make_sup_batch, make_unsup_batch
 
-__all__ = ["CocoDataset", "WeakAugment", "StrongAugment", "make_sup_batch",
-           "make_unsup_batch"]
+__all__ = ["CocoDataset", "make_sup_batch", "make_unsup_batch"]

@@ -7,7 +7,8 @@ Behavior parity with the reference SSOD pipelines
 * weak  = RandResize(11 scales, 'value' mode, keep_ratio) + RandFlip(0.5)
 * strong = weak + shuffled[OneOf(9 color ops), OneOf(translate_x |
   translate_y | rotate±30° | shear_x+shear_y ±30°)] + RandErase(1-5
-  squares, 0-0.2 of size, fill 125)
+  patches of (r*H, r*W), one ratio r per patch (squared=True draws a
+  single ratio, NOT square pixels), 0-0.2 ratio, fill 125)
 * sup = RandResize + RandFlip + OneOf(color)
 
 Every geometric step composes its homogeneous matrix into

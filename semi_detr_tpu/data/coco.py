@@ -50,6 +50,11 @@ class ImageRecord:
     labels_ignore: np.ndarray = field(
         default_factory=lambda: np.zeros(0, np.int64))
     ann_ids: np.ndarray = field(default_factory=lambda: np.zeros(0, np.int64))
+    # COCO ann['area'] (segmentation area) — the protocol buckets GTs
+    # into s/m/l by THIS, not the bbox area
+    areas: np.ndarray = field(default_factory=lambda: np.zeros(0, np.float64))
+    areas_ignore: np.ndarray = field(
+        default_factory=lambda: np.zeros(0, np.float64))
 
     @property
     def aspect_flag(self) -> int:
@@ -97,22 +102,41 @@ class CocoDataset:
             w, h = img["width"], img["height"]
             if min(w, h) < min_size and not test_mode:
                 continue
-            boxes, labels, ignores, ig_labels, ann_ids = [], [], [], [], []
+            boxes, labels, ann_ids, areas = [], [], [], []
+            ignores, ig_labels, ig_areas = [], [], []
+            has_cat_ann = False     # any raw ann of a relevant category
             for ann in anns_by_img.get(img["id"], []):
                 if ann.get("category_id") not in self.cat_id_to_label:
                     continue
+                has_cat_ann = True
+                # mmdet _parse_ann_info filters (coco.py:216-231): zero
+                # image intersection, area <= 0 and sub-pixel w/h < 1
+                # dropped. DEVIATION: explicit ignore-flag anns become
+                # ignore REGIONS (mmdet CocoDataset drops them) — COCO
+                # instances never carry the flag, and our voc_to_coco
+                # marks VOC-difficult with it, where the VOC protocol
+                # requires match-but-not-count semantics.
                 x, y, bw, bh = ann["bbox"]
-                if bw <= 0 or bh <= 0 or ann.get("area", bw * bh) <= 0:
+                inter_w = max(0.0, min(x + bw, w) - max(x, 0.0))
+                inter_h = max(0.0, min(y + bh, h) - max(y, 0.0))
+                if inter_w * inter_h == 0:
+                    continue
+                if ann.get("area", bw * bh) <= 0 or bw < 1 or bh < 1:
                     continue
                 box = [x, y, x + bw, y + bh]
+                area = float(ann.get("area", bw * bh))
                 if ann.get("iscrowd", 0) or ann.get("ignore", 0):
                     ignores.append(box)
                     ig_labels.append(self.cat_id_to_label[ann["category_id"]])
+                    ig_areas.append(area)
                 else:
                     boxes.append(box)
                     labels.append(self.cat_id_to_label[ann["category_id"]])
                     ann_ids.append(ann.get("id", 0))
-            if filter_empty_gt and not test_mode and not boxes:
+                    areas.append(area)
+            # mmdet _filter_imgs: keep any image with a RAW annotation of
+            # a relevant category (crowd-only images stay in the set)
+            if filter_empty_gt and not test_mode and not has_cat_ann:
                 continue
             self.records.append(ImageRecord(
                 id=img["id"], file_name=img["file_name"], width=w, height=h,
@@ -120,7 +144,9 @@ class CocoDataset:
                 labels=np.asarray(labels, np.int64),
                 boxes_ignore=np.asarray(ignores, np.float32).reshape(-1, 4),
                 labels_ignore=np.asarray(ig_labels, np.int64),
-                ann_ids=np.asarray(ann_ids, np.int64)))
+                ann_ids=np.asarray(ann_ids, np.int64),
+                areas=np.asarray(areas, np.float64),
+                areas_ignore=np.asarray(ig_areas, np.float64)))
 
     def __len__(self):
         return len(self.records)

@@ -46,41 +46,40 @@ def box_iou_xyxy(a: np.ndarray, b: np.ndarray,
     return inter / np.maximum(union, 1e-10)
 
 
-def _evaluate_img(det_boxes, det_scores, gt_boxes, gt_ignore, area_rng):
-    """Greedy matching for one (image, category). Returns (dt_matches
-    (T, D) gt flag, dt_ignore (T, D), gt_count)."""
+def _evaluate_img(ious, d_area, g_crowd, g_area, gt_ignore, area_rng):
+    """Greedy matching for one (image, category, area range).
+
+    ious: (D, G) precomputed with CROWD (not area-ignore) semantics and
+    dets already score-sorted/truncated — pycocotools computes IoUs once
+    per (img, cat) and only re-sorts GTs per area range.
+    Returns (dt_matches (T, D), dt_ignore (T, D), gt_count)."""
     lo, hi = area_rng
-    g_area = np.clip(gt_boxes[:, 2] - gt_boxes[:, 0], 0, None) * np.clip(
-        gt_boxes[:, 3] - gt_boxes[:, 1], 0, None)
     g_ig = gt_ignore | (g_area < lo) | (g_area > hi)
-    # sort gts: non-ignored first (pycocotools)
+    # sort gts: non-ignored first (pycocotools gtind)
     g_order = np.argsort(g_ig, kind="stable")
-    gt_boxes = gt_boxes[g_order]
     g_ig = g_ig[g_order]
+    g_crowd = g_crowd[g_order]
 
-    d_order = np.argsort(-det_scores, kind="stable")[:MAX_DETS]
-    det_boxes = det_boxes[d_order]
-    d_area = np.clip(det_boxes[:, 2] - det_boxes[:, 0], 0, None) * np.clip(
-        det_boxes[:, 3] - det_boxes[:, 1], 0, None)
-
-    T, D, G = len(IOU_THRS), len(det_boxes), len(gt_boxes)
+    T, D, G = len(IOU_THRS), ious.shape[0], ious.shape[1]
     dtm = -np.ones((T, D), np.int64)
     dt_ig = np.zeros((T, D), bool)
     if G:
-        ious = box_iou_xyxy(det_boxes, gt_boxes, g_ig)  # crowd≈ignore here
+        ious_a = ious[:, g_order]
         for ti, thr in enumerate(IOU_THRS):
             gtm = -np.ones(G, np.int64)
             for di in range(D):
                 best, best_iou = -1, min(thr, 1 - 1e-10)
                 for gi in range(G):
-                    if gtm[gi] >= 0 and not g_ig[gi]:
+                    # matched gts can only re-match if CROWD
+                    # (pycocotools: `if gtm[...]>0 and not iscrowd`)
+                    if gtm[gi] >= 0 and not g_crowd[gi]:
                         continue
                     # stop at ignored gts once matched to a real gt
                     if best >= 0 and not g_ig[best] and g_ig[gi]:
                         break
-                    if ious[di, gi] < best_iou:
+                    if ious_a[di, gi] < best_iou:
                         continue
-                    best_iou = ious[di, gi]
+                    best_iou = ious_a[di, gi]
                     best = gi
                 if best >= 0:
                     gtm[best] = di
@@ -89,7 +88,7 @@ def _evaluate_img(det_boxes, det_scores, gt_boxes, gt_ignore, area_rng):
     # unmatched dets outside the area range are ignored
     out_rng = (d_area < lo) | (d_area > hi)
     dt_ig |= (dtm < 0) & out_rng[None, :]
-    return dtm, dt_ig, det_scores[d_order], int((~g_ig).sum())
+    return dtm, dt_ig, int((~g_ig).sum())
 
 
 def coco_map(detections: Dict[int, Tuple[np.ndarray, np.ndarray,
@@ -103,7 +102,9 @@ def coco_map(detections: Dict[int, Tuple[np.ndarray, np.ndarray,
     Args:
       detections: image_id -> (boxes (N,4) xyxy, scores (N,), labels (N,)).
       groundtruth: image_id -> (boxes (M,4) xyxy, labels (M,),
-        ignore (M,) bool — iscrowd/ignore regions).
+        crowd (M,) bool) or (boxes, labels, crowd, areas (M,)) — areas
+        are COCO ann['area'] (segmentation) used for s/m/l bucketing;
+        bbox areas are the fallback.
       num_classes: contiguous label count.
 
     Returns dict: mAP, mAP_50, mAP_75, mAP_s, mAP_m, mAP_l, AP_per_class.
@@ -122,7 +123,13 @@ def coco_map(detections: Dict[int, Tuple[np.ndarray, np.ndarray,
         per_area_stats = {a: [] for a in areas}
         n_gt = {a: 0 for a in areas}
         for img_id in img_ids:
-            gt_b, gt_l, gt_ig = groundtruth[img_id]
+            rec = groundtruth[img_id]
+            gt_b, gt_l, gt_crowd = rec[0], rec[1], rec[2]
+            if len(rec) > 3:
+                gt_area = np.asarray(rec[3], np.float64)
+            else:
+                gt_area = (np.clip(gt_b[:, 2] - gt_b[:, 0], 0, None)
+                           * np.clip(gt_b[:, 3] - gt_b[:, 1], 0, None))
             det = detections.get(img_id)
             sel_g = gt_l == k
             if det is None:
@@ -134,21 +141,25 @@ def coco_map(detections: Dict[int, Tuple[np.ndarray, np.ndarray,
                 d_b, d_s = d_b[sel_d], d_s[sel_d]
             if not sel_g.any() and len(d_b) == 0:
                 continue
+            # hoisted per (img, cat): det score sort + IoUs with crowd
+            # semantics (pycocotools computeIoU runs once per img/cat)
+            d_order = np.argsort(-d_s, kind="stable")[:MAX_DETS]
+            d_b = d_b[d_order]
+            scores = d_s[d_order]
+            d_area = (np.clip(d_b[:, 2] - d_b[:, 0], 0, None)
+                      * np.clip(d_b[:, 3] - d_b[:, 1], 0, None))
+            g_crowd_k = gt_crowd[sel_g]
+            ious = box_iou_xyxy(d_b, gt_b[sel_g], g_crowd_k)
             for ai, a in enumerate(areas):
-                dtm, dt_ig, scores, ng = _evaluate_img(
-                    d_b, d_s, gt_b[sel_g], gt_ig[sel_g], AREA_RNG[a])
+                dtm, dt_ig, ng = _evaluate_img(
+                    ious, d_area, g_crowd_k, gt_area[sel_g],
+                    g_crowd_k.copy(), AREA_RNG[a])
                 per_area_stats[a].append((dtm, dt_ig, scores))
                 n_gt[a] += ng
 
         for ai, a in enumerate(areas):
             stats = per_area_stats[a]
             if n_gt[a] == 0:
-                continue
-            if not stats:
-                precision[:, :, k, ai] = 0
-                recall[:, k, ai] = 0
-                if ai == 0:
-                    recall_md[:, k, :] = 0
                 continue
             # recall at each maxDets: truncate per IMAGE before pooling
             # (pycocotools applies maxDets per image)

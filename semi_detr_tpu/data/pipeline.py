@@ -141,16 +141,6 @@ def _stack(packed: List[PackedImage]) -> Dict[str, np.ndarray]:
     }
 
 
-class WeakAugment:
-    def __call__(self, rng, sample):
-        return weak_augment(rng, sample)
-
-
-class StrongAugment:
-    def __call__(self, rng, sample):
-        return strong_augment(rng, sample)
-
-
 def make_sup_batch(rng: np.random.Generator, dataset, indices,
                    bucket: Tuple[int, int], max_gt: int = 100,
                    augment=sup_augment, scales=None) -> Dict:

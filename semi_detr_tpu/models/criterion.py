@@ -57,7 +57,7 @@ def _layer_loss(cls_scores, bbox_preds, gt, warm_up: bool, num_classes: int,
         sum_metrics = jnp.maximum(_pmean(tg.norm_metrics.sum(), axis_name),
                                   1.0)
         out[f"{prefix}loss_cls"] = CLS_W * losses.task_aligned_focal_loss(
-            jax.nn.sigmoid(cls_scores), tg.labels, tg.norm_metrics,
+            cls_scores, tg.labels, tg.norm_metrics,
             tg.label_weights, sum_metrics, num_classes)
         reg_avg = jnp.maximum(
             _pmean(tg.bbox_weights[..., 0].sum(), axis_name), 1.0)

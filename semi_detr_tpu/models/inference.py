@@ -143,14 +143,24 @@ def evaluate_detector(detector: DINODetector, variables, dataset,
     gts = {}
     for rec in dataset.records:
         ig = np.zeros(len(rec.boxes), bool)
+        areas = getattr(rec, "areas", np.zeros(0))
+        ig_areas = getattr(rec, "areas_ignore", np.zeros(0))
         if len(rec.boxes_ignore):
             boxes = np.concatenate([rec.boxes, rec.boxes_ignore])
             labels = np.concatenate([rec.labels, rec.labels_ignore])
             ig = np.concatenate(
                 [ig, np.ones(len(rec.boxes_ignore), bool)])
+            areas = (np.concatenate([areas, ig_areas])
+                     if len(areas) == len(rec.boxes)
+                     and len(ig_areas) == len(rec.boxes_ignore) else None)
         else:
             boxes, labels = rec.boxes, rec.labels
-        gts[rec.id] = (boxes, labels, ig)
+            if len(areas) != len(boxes):
+                areas = None
+        # areas = COCO ann['area'] when the dataset carries it (s/m/l
+        # bucketing per the protocol); bbox-area fallback inside coco_map
+        gts[rec.id] = ((boxes, labels, ig) if areas is None
+                       else (boxes, labels, ig, areas))
     return coco_map(dets, gts, num_classes, class_names)
 
 

@@ -38,15 +38,23 @@ def sigmoid_focal_loss(logits, labels, weight, avg_factor,
     return (loss.sum(-1) * weight).sum() / jnp.maximum(avg_factor, 1.0)
 
 
-def task_aligned_focal_loss(prob, labels, metrics, weight, avg_factor,
+def task_aligned_focal_loss(logits, labels, metrics, weight, avg_factor,
                             num_classes: int, gamma: float = 2.0):
-    """prob: (..., K) sigmoid probabilities; labels int (bg=num_classes);
-    metrics: (...,) soft targets."""
-    onehot = jax.nn.one_hot(labels, num_classes, dtype=prob.dtype)
+    """logits: (..., K) raw class logits; labels int (bg=num_classes);
+    metrics: (...,) soft targets.
+
+    BCE is computed from LOGITS via logaddexp (same as
+    sigmoid_focal_loss): clipping sigmoid output cannot work in float32 —
+    float32(1 - 1e-12) == 1.0, so saturated logits (>= ~17) made
+    log(1 - p) = -inf and one confident query NaN'd the whole warm-up
+    loss."""
+    onehot = jax.nn.one_hot(labels, num_classes, dtype=logits.dtype)
     soft = metrics[..., None] * onehot
-    p = jnp.clip(prob, 1e-12, 1 - 1e-12)
-    ce = -(soft * jnp.log(p) + (1 - soft) * jnp.log(1 - p))
-    loss = (jnp.abs(soft - prob) ** gamma) * ce
+    p = jax.nn.sigmoid(logits)
+    # -log(p) = softplus(-x); -log(1-p) = softplus(x)
+    ce = (soft * jnp.logaddexp(0.0, -logits)
+          + (1 - soft) * jnp.logaddexp(0.0, logits))
+    loss = (jnp.abs(soft - p) ** gamma) * ce
     return (loss.sum(-1) * weight).sum() / jnp.maximum(avg_factor, 1.0)
 
 
@@ -64,13 +72,13 @@ def giou_loss(pred_xyxy, target_xyxy, weight, avg_factor):
 
 def l1_terms(pred, target, weight4, avg_factor):
     """Returns (full, xy, hw) L1 terms — all three enter the total loss in
-    the reference (mmcv sums every 'loss' key)."""
-    full = l1_loss(pred, target, weight4, avg_factor)
+    the reference (mmcv sums every 'loss' key). full == xy + hw by
+    construction (same weights/avg over disjoint coordinate slices)."""
     xy = l1_loss(pred[..., :2], target[..., :2], weight4[..., :2],
                  avg_factor)
     hw = l1_loss(pred[..., 2:], target[..., 2:], weight4[..., 2:],
                  avg_factor)
-    return full, xy, hw
+    return xy + hw, xy, hw
 
 
 def focal_cost(logits, gt_labels, alpha: float = 0.25, gamma: float = 2.0,

@@ -76,6 +76,12 @@ def solve(cost: jax.Array, row_valid: jax.Array | None = None):
     nr, nc = cost.shape
     assert nr <= nc, "pad GTs along rows; queries along columns"
     cost = cost.astype(jnp.float32)
+    # non-finite guard (scipy raises on NaN / infeasible-inf; inside a
+    # compiled train step NaN costs would make the augmenting-path
+    # while_loop spin forever — NaN comparisons are all false, so no
+    # column ever completes). Clamp to a large finite value: the solve
+    # terminates, and the NaN still surfaces in the loss itself.
+    cost = jnp.where(jnp.isfinite(cost), cost, 1e9)
     if row_valid is not None:
         cost = jnp.where(row_valid[:, None], cost, 0.0)
 

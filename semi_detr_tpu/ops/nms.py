@@ -45,9 +45,13 @@ def multiclass_nms(boxes_xyxy: jax.Array, scores: jax.Array,
     cand = boxes_xyxy[box_idx]                        # (k, 4)
     alive = top_scores > score_thr
 
-    # class-offset trick: disjoint coordinate ranges per class
-    extent = jnp.maximum(boxes_xyxy.max(), 1.0) + 1.0
-    off = labels.astype(cand.dtype)[:, None] * extent
+    # class-offset trick: disjoint coordinate ranges per class. Extent
+    # spans max - min (+1 margin) and boxes are shifted by -min so
+    # negative coordinates (unclipped decode) can't leak into the
+    # previous class's band.
+    lo = jnp.minimum(boxes_xyxy.min(), 0.0)
+    extent = boxes_xyxy.max() - lo + 1.0
+    off = labels.astype(cand.dtype)[:, None] * extent - lo
     cand_off = cand + off
 
     iou = box_ops.pairwise_iou(cand_off, cand_off)    # (k, k)

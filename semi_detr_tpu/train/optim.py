@@ -65,7 +65,15 @@ def make_optimizer(params, base_lr: float = 1e-4,
                 lambda c: sched(c) * mult, flip_sign=True),
         )
 
+    # frozen grads are zeroed BEFORE the global-norm clip: mmdet's
+    # OptimizerHook.clip_grads filters to requires_grad params, so the
+    # frozen stem/layer1 gradients (nonzero — they're on the forward
+    # path) must not inflate the norm and over-clip trainable updates
     return optax.chain(
+        optax.multi_transform(
+            {"head": optax.identity(), "backbone": optax.identity(),
+             "frozen": optax.set_to_zero()},
+            labels),
         optax.clip_by_global_norm(clip_norm),
         optax.multi_transform(
             {"head": adamw(1.0), "backbone": adamw(backbone_lr_mult),

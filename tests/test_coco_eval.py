@@ -113,3 +113,49 @@ def test_average_recall_localization():
     det = {1: _det([[0, 0, 10, 6]], [0.9], [0])}
     res = coco_map(det, gt, num_classes=1)
     assert abs(res["AR_100"] - 0.3) < 1e-6
+
+
+def test_segmentation_area_bucketing():
+    """GT s/m/l bucketing uses ann['area'] (segmentation), not bbox area
+    (pycocotools protocol)."""
+    from semi_detr_tpu.data.coco_eval import coco_map
+    # one GT: bbox 40x40 (=1600 px, 'medium' by bbox) but seg area 900
+    # ('small'); detection matches it perfectly
+    gt_b = np.asarray([[0, 0, 40, 40]], np.float32)
+    gt_l = np.asarray([0])
+    ig = np.zeros(1, bool)
+    det = {1: (gt_b.copy(), np.asarray([0.9], np.float32),
+               np.asarray([0]))}
+    with_seg = coco_map(det, {1: (gt_b, gt_l, ig,
+                                  np.asarray([900.0]))}, 1)
+    no_seg = coco_map(det, {1: (gt_b, gt_l, ig)}, 1)
+    assert with_seg["mAP_s"] == 1.0 and np.isnan(with_seg["mAP_m"])
+    assert np.isnan(no_seg["mAP_s"]) and no_seg["mAP_m"] == 1.0
+
+
+def test_area_ignored_noncrowd_gt_not_rematchable():
+    """A non-crowd GT outside the area range is ignored but must NOT get
+    crowd semantics: once matched it locks, and its IoU uses the normal
+    union (pycocotools keys re-matching on iscrowd only)."""
+    from semi_detr_tpu.data.coco_eval import coco_map
+    # 'small' range eval: one medium GT (area-ignored), two identical
+    # strong dets of MEDIUM size on it. With crowd semantics both would
+    # match-and-ignore; correct behavior: first matches (ignored), the
+    # second ALSO can't create an FP because unmatched out-of-range dets
+    # are ignored — so construct the discriminating case with a SMALL
+    # second det that overlaps the medium gt partially (IoU < thr under
+    # true union, > thr under det-area 'crowd' IoU).
+    gt_b = np.asarray([[0, 0, 60, 60]], np.float32)     # area 3600 medium
+    gt_l = np.asarray([0])
+    ig = np.zeros(1, bool)
+    # det: 20x20 inside the gt: inter=400, union=3600+400-400=3600 ->
+    # IoU 0.111; crowd IoU would be 400/400 = 1.0
+    det = {1: (np.asarray([[0, 0, 20, 20]], np.float32),
+               np.asarray([0.9], np.float32), np.asarray([0]))}
+    res = coco_map(det, {1: (gt_b, gt_l, ig)}, 1)
+    # small-range: the small det must be an unmatched FP (IoU too low),
+    # and with zero small GTs mAP_s is NaN; under crowd semantics the
+    # det would have matched-and-ignored instead. Discriminate via AR:
+    # no recall entries either way, but the det stays a counted FP in
+    # the 'all' range: mAP ('all') must be 0, not ignored-away.
+    assert res["mAP"] == 0.0

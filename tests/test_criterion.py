@@ -86,11 +86,12 @@ def test_sigmoid_focal_loss_golden():
 
 def test_task_aligned_focal_loss_golden():
     # QFL-style: |soft - p|^2 * BCE(p, soft), soft = metric on gt class
-    prob = jnp.asarray([[0.6, 0.2]])
+    prob = np.asarray([0.6, 0.2])
+    logits = jnp.asarray([np.log(prob / (1 - prob))], jnp.float32)
     labels = jnp.asarray([0])
     metrics = jnp.asarray([0.8])
     w = jnp.ones((1,))
-    out = float(losses.task_aligned_focal_loss(prob, labels, metrics, w,
+    out = float(losses.task_aligned_focal_loss(logits, labels, metrics, w,
                                                1.0, 2))
     def bce(p, t):
         return -(t * np.log(p) + (1 - t) * np.log(1 - p))
@@ -141,3 +142,13 @@ def test_detection_loss_dn_zeroed_for_pseudo_in_warmup():
     for lid in range(n_dec - 1):
         assert f"d{lid}.loss_cls" in post
     assert "enc_loss_cls" in post and "total" in post
+
+
+def test_task_aligned_focal_loss_saturated_logits_finite():
+    """Saturated sigmoid (logit 30 -> p == 1.0 in f32) must not produce
+    inf/NaN (regression: clip(p, ..., 1 - 1e-12) was a no-op in f32)."""
+    logits = jnp.asarray([[30.0, -30.0]])
+    labels = jnp.asarray([0])
+    out = float(losses.task_aligned_focal_loss(
+        logits, labels, jnp.asarray([0.5]), jnp.ones((1,)), 1.0, 2))
+    assert np.isfinite(out)

@@ -57,3 +57,15 @@ def test_vmapped_batch():
         r, c = linear_sum_assignment(costs[b])
         np.testing.assert_allclose(_total(costs[b], cols[b]),
                                    costs[b][r, c].sum(), rtol=1e-5, atol=1e-4)
+
+
+def test_nan_inf_costs_terminate():
+    """NaN/inf costs must not hang the while_loop (scipy raises; we clamp
+    to a large finite value so the compiled step terminates)."""
+    from semi_detr_tpu.ops import hungarian
+    rs = np.random.RandomState(0)
+    c = rs.rand(4, 6).astype(np.float32)
+    c[1, :] = np.nan
+    c[2, 3] = np.inf
+    out = np.asarray(hungarian.solve(jnp.asarray(c)))
+    assert len(set(out.tolist())) == 4          # a valid assignment
