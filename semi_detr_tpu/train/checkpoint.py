@@ -39,6 +39,11 @@ class CheckpointManager:
         step = int(state.step)
         if not force and (step == 0 or step % self.interval != 0):
             return False
+        # orbax raises StepAlreadyExistsError on a re-save; the end-of-
+        # training force-save lands on an interval step whenever
+        # total_steps % interval == 0 (the headline 120k/4k recipe)
+        if step in self.mgr.all_steps():
+            return False
         self.mgr.save(step, args=ocp.args.StandardSave(state))
         return True
 
@@ -81,16 +86,14 @@ def duplicate_into_teacher(state: TrainState) -> TrainState:
     duplicated into the teacher (`dino_detr_ssod.py:963-968`)."""
     det = (state.params["detector"] if isinstance(state.params, dict)
            and "detector" in state.params else state.params)
-    return state.replace(teacher_params=jax.tree.map(lambda x: x, det))
+    return state.replace(teacher_params=det)
 
 
 def load_pretrained_detector(state: TrainState, detector_params) -> TrainState:
     """Load supervised detector params into an SSOD state (both copies)."""
     params = dict(state.params)
     params["detector"] = detector_params
-    return state.replace(
-        params=params,
-        teacher_params=jax.tree.map(lambda x: x, detector_params))
+    return state.replace(params=params, teacher_params=detector_params)
 
 
 def _cast_like(dst, src):

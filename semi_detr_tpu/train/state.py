@@ -40,8 +40,7 @@ class TrainState:
             step=jnp.zeros((), jnp.int32),
             params=params,
             batch_stats=variables.get("batch_stats", {}),
-            teacher_params=jax.tree.map(lambda x: x, params)
-            if with_teacher else None,
+            teacher_params=params if with_teacher else None,
             opt_state=tx.init(params),
         )
 

@@ -77,8 +77,10 @@ def resolve_vars(tree: Dict, root: Optional[Dict] = None):
 
 def _exec_config(path: str) -> Dict:
     mod = runpy.run_path(path)
+    # drop dunder names, helper functions/classes and imported modules —
+    # only data entries belong in the config tree
     return {k: v for k, v in mod.items()
-            if not k.startswith("__") and not callable(k)
+            if not k.startswith("__") and not callable(v)
             and not isinstance(v, type(os))}
 
 
@@ -110,12 +112,23 @@ def load_config(path: str, overrides: Optional[Dict[str, Any]] = None,
 def set_by_path(tree: Dict, dotted: str, value: Any):
     parts = dotted.split(".")
     cur = tree
+    parent, parent_key = None, None
     for p in parts[:-1]:
-        if isinstance(cur, (list, tuple)):
+        if isinstance(cur, tuple):
+            # tuples are immutable: replace with a list in the parent so
+            # the indexed write below works
+            cur = list(cur)
+            parent[parent_key] = cur
+        if isinstance(cur, list):
+            parent, parent_key = cur, int(p)
             cur = cur[int(p)]
         else:
+            parent, parent_key = cur, p
             cur = cur.setdefault(p, {})
-    if isinstance(cur, (list, tuple)):
+    if isinstance(cur, tuple):
+        cur = list(cur)
+        parent[parent_key] = cur
+    if isinstance(cur, list):
         cur[int(parts[-1])] = value
     else:
         cur[parts[-1]] = value

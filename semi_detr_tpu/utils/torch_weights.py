@@ -239,7 +239,9 @@ def convert_projector(state_dict: Dict[str, Any],
     sd = {k[len(prefix):]: np.asarray(v) for k, v in state_dict.items()
           if k.startswith(prefix)}
     w1 = sd["fc1.weight"]                               # (1024, C*7*7)
-    c = sd["conv1.weight"].shape[0]
+    # fc1's input channels come from conv2's OUTPUT (conv1/conv2 happen
+    # to share 256 in the reference, but derive from the right one)
+    c = sd["conv2.weight"].shape[0]
     hw = int(np.sqrt(w1.shape[1] // c))
     w1 = (w1.reshape(w1.shape[0], c, hw, hw)
           .transpose(0, 2, 3, 1).reshape(w1.shape[0], -1))

@@ -186,3 +186,36 @@ def test_pick_step_bucket_custom_large_scales():
     _, bp = pick_step_bucket(np.random.default_rng(0), [(900, 1500)],
                              (900, 1504), 0)
     assert bp == (1504, 900)
+
+
+def test_config_drops_helpers_and_tuple_overrides(tmp_path):
+    """Helper functions/classes in a config file must not leak into the
+    tree, and --cfg-options can index into tuple-valued entries."""
+    from semi_detr_tpu.utils.config import load_config, set_by_path
+    p = tmp_path / "cfg.py"
+    p.write_text(
+        "def helper(x):\n    return x\n"
+        "class Foo:\n    pass\n"
+        "model = dict(size=helper(4))\n"
+        "bucket = (800, 1344)\n")
+    cfg = load_config(str(p))
+    assert set(cfg) == {"model", "bucket"}
+    set_by_path(cfg, "bucket.0", 640)
+    assert list(cfg["bucket"])[0] == 640
+
+
+def test_checkpoint_force_save_after_interval_save(tmp_path):
+    """End-of-training force-save on an interval step must not crash
+    (orbax raises StepAlreadyExistsError on a duplicate save)."""
+    import jax.numpy as jnp
+    import optax
+    from semi_detr_tpu.train.checkpoint import CheckpointManager
+    from semi_detr_tpu.train.state import TrainState
+    v = {"params": {"w": jnp.ones((2,))}}
+    st = TrainState.create(v, optax.identity(), with_teacher=False)
+    st = st.replace(step=jnp.asarray(4, jnp.int32),
+                    opt_state=optax.identity().init(v["params"]))
+    mgr = CheckpointManager(str(tmp_path / "ckpt"), interval=4)
+    assert mgr.maybe_save(st) is True
+    assert mgr.maybe_save(st, force=True) is False   # no re-save crash
+    mgr.close()
