@@ -79,7 +79,7 @@ class Predictor:
     default), NMS-vs-topk decode selected by the checkpoint step."""
 
     def __init__(self, detector, state, scfg, class_names,
-                 inference_on: str = "teacher"):
+                 inference_on: str = "teacher", use_nms=None):
         from .models.inference import make_predict_fn
         self.detector = detector
         self.state = state
@@ -92,7 +92,13 @@ class Predictor:
                         and "detector" in state.params else state.params))
         self.variables = {"params": params,
                           "batch_stats": state.batch_stats}
-        use_nms = int(state.step) < scfg.warm_up_step
+        if use_nms is None:
+            # step-vs-warm_up heuristic matches the reference tools/test
+            # protocol for SSOD checkpoints; for supervised checkpoints
+            # (whose step counter is unrelated to the SSOD stages) pass
+            # use_nms explicitly: True for O2M warm-up-branch training,
+            # False for the standard top-k test protocol
+            use_nms = int(state.step) < scfg.warm_up_step
         self._predict = make_predict_fn(detector, use_nms=use_nms)
 
     def __call__(self, image: np.ndarray, score_thr: float = 0.3,
@@ -105,6 +111,13 @@ class Predictor:
         from .data.pipeline import pack
 
         s = test_resize(make_sample(image), test_scale or TEST_SCALE)
+        # orient the bucket like the eval loop does per aspect flag —
+        # a portrait image keep-ratio-resizes taller than the landscape
+        # bucket and would fail pack()'s fit assert
+        h, w = s.img.shape[:2]
+        bh, bw = bucket
+        land = (bh, bw) if bw >= bh else (bw, bh)
+        bucket = land if w >= h else (land[1], land[0])
         p = pack(s, bucket, 1)
         boxes, scores, labels = jax.device_get(self._predict(
             self.variables, p.image[None], p.hw[None]))

@@ -44,6 +44,11 @@ class SemiBalanceSampler:
                  num_shards: int = 1, shard_id: int = 0):
         assert sum(sample_ratio) == samples_per_batch or by_prob, (
             "ratio must fill the batch unless sampling by probability")
+        if num_sup <= 0 or num_unsup <= 0:
+            raise ValueError(
+                f"SemiBalanceSampler needs non-empty datasets "
+                f"(sup={num_sup}, unsup={num_unsup}); an empty stream "
+                f"would spin forever")
         self.num_sup = num_sup
         self.num_unsup = num_unsup
         self.sup_flags = np.asarray(sup_flags)
@@ -73,14 +78,19 @@ class SemiBalanceSampler:
             n_flagged[f] = (len(sup_ids), len(unsup_ids))
             streams[f] = (self._infinite(rng, sup_ids),
                           self._infinite(rng, unsup_ids))
-        # flags usable only if BOTH datasets have images of it
+        # flags usable only if BOTH datasets have images of it: every
+        # batch must be orientation-pure (one static bucket per step —
+        # a mixed batch would crash pack()'s fit assert for whichever
+        # image doesn't match the flag's bucket orientation)
         usable = [f for f in (0, 1) if min(n_flagged[f]) > 0]
-        if not usable:  # fall back to mixing (degenerate tiny datasets)
-            usable = [f for f in (0, 1) if max(n_flagged[f]) > 0] or [1]
-            all_ids = np.arange(self.num_sup)
-            all_un = np.arange(self.num_unsup)
-            streams = {f: (self._infinite(rng, all_ids),
-                           self._infinite(rng, all_un)) for f in usable}
+        if not usable:
+            raise ValueError(
+                "sup/unsup datasets share no aspect-ratio group "
+                f"(sup landscape/portrait counts "
+                f"{[(self.sup_flags == f).sum() for f in (1, 0)]}, unsup "
+                f"{[(self.unsup_flags == f).sum() for f in (1, 0)]}); "
+                "SSOD batches mix both datasets under ONE bucket "
+                "orientation, so at least one common group is required")
         weights = np.asarray(
             [sum(n_flagged[f]) for f in usable], np.float64)
         weights = weights / weights.sum()

@@ -40,8 +40,10 @@ def _load():
     with _lock:
         if _lib is not None:
             return _lib
-        if not os.path.exists(_SO) or (os.path.getmtime(_SO)
-                                       < os.path.getmtime(_SRC)):
+        stale = not os.path.exists(_SO) or (
+            os.path.exists(_SRC)
+            and os.path.getmtime(_SO) < os.path.getmtime(_SRC))
+        if stale:
             if not _build():
                 _lib = False
                 return _lib
@@ -74,12 +76,20 @@ def available() -> bool:
 MAX_PIXELS = 4096 * 4096
 
 
+_decode_buf = threading.local()
+
+
 def decode_image(data: bytes) -> Optional[np.ndarray]:
     """Decode JPEG/PNG bytes -> (H, W, 3) uint8 RGB, or None on failure."""
     lib = _load()
     if not lib:
         return None
-    out = np.empty(MAX_PIXELS * 3, np.uint8)
+    # reusable per-thread output buffer: a fresh 48 MiB np.empty per
+    # decode was pure allocator churn on the hot path
+    out = getattr(_decode_buf, "buf", None)
+    if out is None:
+        out = np.empty(MAX_PIXELS * 3, np.uint8)
+        _decode_buf.buf = out
     h = ctypes.c_int()
     w = ctypes.c_int()
     buf = (ctypes.c_uint8 * len(data)).from_buffer_copy(data)

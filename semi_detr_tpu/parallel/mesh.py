@@ -27,13 +27,17 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def make_mesh(shape: Optional[Sequence[int]] = None,
-              axis_names: Sequence[str] = ("data",),
+              axis_names: Optional[Sequence[str]] = None,
               devices=None) -> Mesh:
-    """Create a device mesh. Default: all devices on one 'data' axis."""
+    """Create a device mesh. Default: all devices on one 'data' axis;
+    multi-dim shapes default to ('data', 'model', ...) names."""
     devices = np.asarray(devices if devices is not None else jax.devices())
     if shape is None:
         shape = (devices.size,)
-    return Mesh(devices.reshape(shape), axis_names)
+    if axis_names is None:
+        axis_names = ("data", "model", "pipe", "expert")[:len(shape)]
+    assert len(axis_names) == len(shape), (axis_names, shape)
+    return Mesh(devices.reshape(tuple(shape)), tuple(axis_names))
 
 
 def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:

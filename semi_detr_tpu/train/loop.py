@@ -55,24 +55,43 @@ def _bucket_for_flag(bucket, flag):
 def prefetch(iterator, depth: int = 2):
     """Background-thread batch prefetch: overlaps host-side decoding/
     augmentation/packing with device steps (the torch-DataLoader-worker
-    role; image decode itself is the native C++ loader)."""
+    role; image decode itself is the native C++ loader).
+
+    Worker exceptions re-raise in the consumer (a swallowed loader error
+    would silently truncate training as a clean end-of-stream), and
+    abandoning the generator (loop break) unblocks and stops the worker
+    instead of leaking it parked on a full queue of batches."""
     q = queue.Queue(maxsize=depth)
+    stop = threading.Event()
     _END = object()
 
     def worker():
         try:
             for item in iterator:
-                q.put(item)
-        finally:
+                while not stop.is_set():
+                    try:
+                        q.put(item, timeout=0.5)
+                        break
+                    except queue.Full:
+                        continue
+                if stop.is_set():
+                    return
             q.put(_END)
+        except BaseException as e:                      # noqa: BLE001
+            q.put(e)
 
     t = threading.Thread(target=worker, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is _END:
-            return
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is _END:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        stop.set()
 
 
 class SsodTrainer:
@@ -197,11 +216,16 @@ class SsodTrainer:
                 unsup.pop("image_ids", None)
                 yield {"sup": sup, "unsup": unsup}
 
-    def resume(self):
-        if self.ckpt.latest_step() is not None:
-            self.state = self.ckpt.restore(self.state)
+    def resume(self, path: Optional[str] = None):
+        """Restore the latest checkpoint from `path` (--resume-from) or
+        the work dir."""
+        mgr = self.ckpt if path is None else CheckpointManager(path)
+        if mgr.latest_step() is not None:
+            self.state = mgr.restore(self.state)
             self.logger.logger.info(
                 f"resumed from step {int(self.state.step)}")
+        elif path is not None:
+            raise FileNotFoundError(f"--resume-from: no checkpoint in {path}")
 
     def train(self, max_steps: Optional[int] = None):
         self.logger.logger.info(
@@ -301,19 +325,28 @@ class SupervisedTrainer:
                 self.detector, self.tx, warm_up=warm_up, mesh=self.mesh)
         return self._steps[warm_up]
 
-    def resume(self):
-        if self.ckpt.latest_step() is not None:
-            self.state = self.ckpt.restore(self.state)
+    def resume(self, path: Optional[str] = None):
+        """Restore the latest checkpoint from `path` (--resume-from) or
+        the work dir."""
+        mgr = self.ckpt if path is None else CheckpointManager(path)
+        if mgr.latest_step() is not None:
+            self.state = mgr.restore(self.state)
             self.logger.logger.info(
                 f"resumed from step {int(self.state.step)}")
+        elif path is not None:
+            raise FileNotFoundError(f"--resume-from: no checkpoint in {path}")
 
-    def batches(self):
+    def batches(self, start_step: int = 0):
         """Aspect-ratio-homogeneous batches (mmdet GroupSampler
         semantics): each batch draws from one orientation group and pads
         to that orientation's bucket. `batch_size` is PER-HOST; on
         multi-host runs every process draws the same global step and
-        slices its disjoint chunk (same scheme as SemiBalanceSampler)."""
-        data_rng = np.random.default_rng(self.seed + 7)
+        slices its disjoint chunk (same scheme as SemiBalanceSampler).
+
+        `start_step` replays the cheap per-step bookkeeping (flag draw,
+        cursors, bucket draw) WITHOUT loading images, so a resumed run
+        continues the exact batch schedule of an uninterrupted one; the
+        augment RNG is seeded per global step for the same reason."""
         order_rng = np.random.default_rng(self.seed)
         bucket_rng = np.random.default_rng(self.seed + 99)
         n_shards, shard = jax.process_count(), jax.process_index()
@@ -326,6 +359,7 @@ class SupervisedTrainer:
         fl = list(groups)
         weights = np.asarray([len(groups[f]) for f in fl], np.float64)
         weights = weights / weights.sum()
+        step = 0
         while True:
             f = int(order_rng.choice(fl, p=weights))
             idx = []
@@ -338,20 +372,24 @@ class SupervisedTrainer:
             idx = idx[shard * self.batch_size:(shard + 1) * self.batch_size]
             scales = self.scales
             if self.multi_bucket:
-                scale, bucket = pick_step_bucket(
+                step_scale, bucket = pick_step_bucket(
                     bucket_rng, self.scales or COCO_SCALES, self.bucket, f)
-                scales = [scale]
+                scales = [step_scale]
             else:
                 bucket = _bucket_for_flag(self.bucket, f)
-            batch = make_sup_batch(data_rng, self.dataset, idx, bucket,
-                                   self.cfg.max_gt, scales=scales)
-            batch.pop("image_ids", None)
-            yield batch
+            if step >= start_step:
+                batch = make_sup_batch(
+                    np.random.default_rng((self.seed, 7, step)),
+                    self.dataset, idx, bucket, self.cfg.max_gt,
+                    scales=scales)
+                batch.pop("image_ids", None)
+                yield batch
+            step += 1
 
     def train(self, max_steps: Optional[int] = None):
         rng = jax.random.PRNGKey(self.seed + 13)
         total = min(self.total_steps, max_steps or self.total_steps)
-        gen = prefetch(self.batches())
+        gen = prefetch(self.batches(start_step=int(self.state.step)))
         while int(self.state.step) < total:
             step = int(self.state.step)
             batch = next(gen)

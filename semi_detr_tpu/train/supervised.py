@@ -38,6 +38,10 @@ def make_supervised_train_step(model: DINODetector,
     cfg = model.cfg
 
     def step_fn(state: TrainState, batch: Dict[str, Any], rng: jax.Array):
+        # fresh DN noise every iteration (the caller passes one key for
+        # the whole run; without the fold-in the CDN box jitter/label
+        # flips would repeat the same pattern every step)
+        rng = jax.random.fold_in(rng, state.step)
         if state.teacher_params is not None:
             # reference updates the EMA BEFORE the train iter
             # (`mean_teacher.py:37-50`)

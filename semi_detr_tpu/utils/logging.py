@@ -26,19 +26,28 @@ _LOG_COUNTS: Dict[str, int] = defaultdict(int)
 def get_logger(name: str = "semi_detr_tpu",
                log_file: Optional[str] = None) -> logging.Logger:
     logger = logging.getLogger(name)
-    if logger.handlers:
-        return logger
-    logger.setLevel(logging.INFO)
     fmt = logging.Formatter(
         "%(asctime)s - %(name)s - %(levelname)s - %(message)s")
-    sh = logging.StreamHandler(sys.stdout)
-    sh.setFormatter(fmt)
-    logger.addHandler(sh)
+    if not logger.handlers:
+        logger.setLevel(logging.INFO)
+        sh = logging.StreamHandler(sys.stdout)
+        sh.setFormatter(fmt)
+        logger.addHandler(sh)
     if log_file:
-        os.makedirs(os.path.dirname(log_file) or ".", exist_ok=True)
-        fh = logging.FileHandler(log_file)
-        fh.setFormatter(fmt)
-        logger.addHandler(fh)
+        # a second trainer in the same process gets ITS work dir's
+        # train.log (the old handler-presence early-return appended
+        # everything to the first trainer's file)
+        path = os.path.abspath(log_file)
+        have = [h for h in logger.handlers
+                if isinstance(h, logging.FileHandler)]
+        if not any(h.baseFilename == path for h in have):
+            for h in have:
+                logger.removeHandler(h)
+                h.close()
+            os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+            fh = logging.FileHandler(path)
+            fh.setFormatter(fmt)
+            logger.addHandler(fh)
     return logger
 
 

@@ -55,3 +55,31 @@ def test_decode_nms_suppresses_duplicates():
     assert survivors == 2
     lbl = np.asarray(labels[0])[s > 0.05]
     assert set(lbl.tolist()) == {0, 1}
+
+
+def test_predictor_portrait_image(tmp_path):
+    """The public api must orient the bucket per image aspect (regression:
+    portrait images crashed pack()'s fit assert)."""
+    import jax
+    import optax
+
+    from semi_detr_tpu.api import Predictor
+    from semi_detr_tpu.models.dino_head import DinoConfig, DINODetector
+    from semi_detr_tpu.models.ssod import Projector, SsodConfig
+    from semi_detr_tpu.train.ssod import init_ssod_state
+
+    tiny = DinoConfig(num_classes=2, num_queries=12, d_model=64, n_heads=2,
+                      num_encoder_layers=1, num_decoder_layers=1, d_ffn=64,
+                      dn_single_pad=2, dn_groups=1, max_gt=4)
+    cfg = SsodConfig(dino=tiny, max_pseudo=2, cons_groups=1,
+                     nms_max_out=8, nms_pre_topk=16)
+    det, proj = DINODetector(tiny), Projector(tiny.d_model)
+    state = init_ssod_state(det, proj, optax.identity(), cfg,
+                            jax.random.PRNGKey(0),
+                            jnp.zeros((1, 64, 64, 3)),
+                            jnp.asarray([[64, 64]], jnp.int32))
+    pred = Predictor(det, state, cfg, ("a", "b"), use_nms=False)
+    img = (np.random.RandomState(0).rand(120, 80, 3) * 255).astype(np.uint8)
+    boxes, scores, labels = pred(img, score_thr=0.0, bucket=(96, 128),
+                                 test_scale=(80, 112))
+    assert boxes.shape[1] == 4 and np.isfinite(boxes).all()

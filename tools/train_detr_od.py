@@ -37,7 +37,9 @@ def main():
         backbone_init=cfg.get("backbone_init"),
         load_from=cfg.get("load_from"),
         multi_bucket=bool(cfg.get("multi_bucket", False)))
-    if args.resume_from or trainer.ckpt.latest_step() is not None:
+    if args.resume_from:
+        trainer.resume(args.resume_from)
+    elif trainer.ckpt.latest_step() is not None:
         trainer.resume()
     trainer.train(max_steps=args.max_steps)
 
