@@ -176,3 +176,49 @@ def test_ssod_batch_stream_epoch_resume():
     e0 = np.concatenate([b["sup"]["images"].ravel() for b in full[:4]])
     e1 = np.concatenate([b["sup"]["images"].ravel() for b in full[4:8]])
     assert not np.array_equal(e0, e1)
+
+
+def test_supervised_batch_stream_resume():
+    """SupervisedTrainer.batches(start_step) must continue the exact
+    schedule of an uninterrupted stream (regression: resume restarted
+    the stream from batch 0)."""
+    from semi_detr_tpu.models.dino_head import DinoConfig
+    from semi_detr_tpu.train.loop import SupervisedTrainer
+
+    class FakeDs:
+        def __init__(self, n, seed):
+            from types import SimpleNamespace
+            rs = np.random.RandomState(seed)
+            self.flags = np.ones(n, np.int64)
+            self.imgs = [(rs.rand(32, 40, 3) * 255).astype(np.uint8)
+                         for _ in range(n)]
+            self.recs = [
+                SimpleNamespace(boxes=np.asarray([[4.0, 4.0, 20.0, 16.0]],
+                                                 np.float32),
+                                labels=np.asarray([0], np.int32), id=i)
+                for i in range(n)]
+
+        def __len__(self):
+            return len(self.imgs)
+
+        def __getitem__(self, i):
+            return self.recs[i]
+
+        def load_image(self, i):
+            return self.imgs[i].copy()
+
+    t = SupervisedTrainer.__new__(SupervisedTrainer)
+    t.cfg = DinoConfig(num_classes=1, max_gt=4)
+    t.dataset = FakeDs(7, 0)
+    t.batch_size = 2
+    t.seed = 5
+    t.scales = [(24, 32)]
+    t.multi_bucket = False
+    t.bucket = (32, 40)
+
+    full = [next(b) for b in [t.batches(0)] for _ in range(9)]
+    resumed_gen = t.batches(6)
+    resumed = [next(resumed_gen) for _ in range(3)]
+    for a, b in zip(full[6:], resumed):
+        np.testing.assert_array_equal(a["images"], b["images"])
+        np.testing.assert_array_equal(a["gt"]["boxes"], b["gt"]["boxes"])
