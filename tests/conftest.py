@@ -10,8 +10,15 @@ import os
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8").strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+if "collective_call_terminate" not in flags:
+    # 8 virtual devices share ONE sandbox vCPU: under load a collective
+    # participant thread can starve past XLA's default stuck-call
+    # terminate timeout, which hard-aborts the process mid-test
+    # ("Fatal Python error: Aborted" in the mesh-equivalence test).
+    flags += (" --xla_cpu_collective_call_warn_stuck_timeout_seconds=300"
+              " --xla_cpu_collective_call_terminate_timeout_seconds=1200")
+os.environ["XLA_FLAGS"] = flags
 os.environ.setdefault("JAX_ENABLE_X64", "0")
 # persistent compilation cache: the sandbox has 1 vCPU, compiles dominate
 # test wall-time; cache them across runs.
