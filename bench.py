@@ -26,10 +26,35 @@ import time
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_tpu")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
+import subprocess
+import sys
+
 import jax
 import jax.numpy as jnp
 
 A100_REF_IMG_PER_SEC = 2.5   # estimated reference throughput (see header)
+
+
+def _probe_devices(timeout_s: int = 120):
+    """Device init probed in a SUBPROCESS: a wedged axon tunnel makes
+    jax.devices() hang forever inside native code (uninterruptible by
+    signals), so probe out-of-process and pin this process to CPU on
+    failure — the bench must always emit its JSON line."""
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; print('PLAT', jax.devices()[0].platform)"],
+            timeout=timeout_s, capture_output=True, text=True)
+        for line in out.stdout.splitlines():
+            if line.startswith("PLAT "):
+                return line.split()[1]
+    except Exception:
+        pass
+    try:
+        jax.config.update("jax_platforms", "cpu")
+    except Exception:
+        pass
+    return "cpu"
 
 
 def main():
@@ -40,7 +65,7 @@ def main():
     from semi_detr_tpu.train.state import TrainState
     from semi_detr_tpu.train.supervised import make_supervised_train_step
 
-    platform = jax.devices()[0].platform
+    platform = _probe_devices()
     if platform == "tpu":
         b, h, w = 2, 800, 1344
         cfg = DinoConfig(dtype=jnp.bfloat16, remat=True)
