@@ -63,6 +63,13 @@ _SKIP_DLOC = os.environ.get("SDT_BWD_SKIP_DLOC") == "1"   # no da/dloc dots
 _SKIP_DV = os.environ.get("SDT_BWD_SKIP_DV") == "1"       # no C/matmul/dv
 _FWD_NO_GATHER = os.environ.get("SDT_FWD_NO_GATHER") == "1"
 
+# Packed-bf16 forward gather (EXPERIMENT, default off): two bf16
+# channels ride each 32-bit lane, halving gather vreg traffic. Only
+# meaningful when the value tensor is already bf16 (the flagship
+# config); enable with SDT_PACKED_GATHER=1 and A/B on chip via
+# tools/benchmarks/sweep_on_chip.sh before making it a default.
+_PACKED_GATHER = os.environ.get("SDT_PACKED_GATHER") == "1"
+
 
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
@@ -209,11 +216,24 @@ def _gather(tile, lane, d):
         mode="promise_in_bounds")
 
 
+def _unpack_bf16_pair(g):
+    """i32 lanes holding (odd << 16) | even bf16 bit pairs -> two f32
+    tiles (a bf16's f32 value is its bits in the top 16)."""
+    even = jax.lax.bitcast_convert_type(
+        jax.lax.shift_left(g, 16), jnp.float32)
+    odd = jax.lax.bitcast_convert_type(g & jnp.int32(-65536), jnp.float32)
+    return even, odd
+
+
 def _fwd_kernel(locx_ref, locy_ref, attn_ref, value_ref, out_ref, *,
-                spatial_shapes: Tuple[Tuple[int, int], ...], n_points: int):
-    """locx/locy/attn (1,1,LP,BQ) f32; value (1,1,NT,D,BQ); out (1,1,D,BQ)."""
+                spatial_shapes: Tuple[Tuple[int, int], ...], n_points: int,
+                packed: bool = False):
+    """locx/locy/attn (1,1,LP,BQ) f32; value (1,1,NT,D,BQ) f32 or
+    (1,1,NT,D/2,BQ) packed-bf16 i32; out (1,1,D,BQ) (packed: rows are
+    [even channels; odd channels] — the wrapper re-interleaves)."""
     P = n_points
     D = out_ref.shape[2]
+    dg = value_ref.shape[3]                 # gather rows (D or D/2)
     geom, _ = _tile_geom(spatial_shapes)
 
     attn = attn_ref[0, 0]
@@ -233,13 +253,19 @@ def _fwd_kernel(locx_ref, locy_ref, attn_ref, value_ref, out_ref, *,
                  rmin=rmin, cmin=cmin, tstart=tstart, ntc=ntc):
             r = k // ncol
             wnd = tstart + (rmin + r) * ntc + (cmin + k - r * ncol)
-            tile = value_ref[0, 0, wnd]                       # (D, BQ)
+            tile = value_ref[0, 0, wnd]                       # (dg, BQ)
             for ci in range(4):
                 m_all = jnp.where(wins[ci] == wnd, wgts[ci], 0.0)
                 for p in range(P):
                     g = (tile if _FWD_NO_GATHER
-                         else _gather(tile, lanes[ci][p:p + 1], D))
-                    acc = acc + g * m_all[p:p + 1]
+                         else _gather(tile, lanes[ci][p:p + 1], dg))
+                    m = m_all[p:p + 1]
+                    if packed:
+                        even, odd = _unpack_bf16_pair(g)
+                        acc = acc + jnp.concatenate(
+                            [even, odd], axis=0) * m
+                    else:
+                        acc = acc + g * m
             return acc
 
         acc = jax.lax.fori_loop(0, total, body, acc)
@@ -247,9 +273,12 @@ def _fwd_kernel(locx_ref, locy_ref, attn_ref, value_ref, out_ref, *,
 
 
 def _prep_inputs(value, spatial_shapes, sampling_locations,
-                 attention_weights):
+                 attention_weights, packed: bool = False):
     """Common host-side layout for fwd/bwd: tiled value slab + kernel
-    query layouts. Returns (v, locx, locy, attn, tiled_q, lq_t)."""
+    query layouts. Returns (v, locx, locy, attn, tiled_q, lq_t).
+
+    packed: bf16 value channels pair-packed into i32 lanes
+    ((odd << 16) | even), slab shape (N, M, NT, D/2, 128)."""
     N, S, M, D = value.shape
     _, Lq, _, L, P, _ = sampling_locations.shape
     assert sum(h * w for h, w in spatial_shapes) == S
@@ -276,9 +305,19 @@ def _prep_inputs(value, spatial_shapes, sampling_locations,
             attn = jnp.pad(attn, ((0, 0), (0, lq_t - Lq)) + ((0, 0),) * 3,
                            constant_values=-1.0)
 
-    # Mosaic's dynamic_gather is 32-bit: keep the slab f32 in-kernel.
-    v = _tile_tokens(value.astype(jnp.float32), spatial_shapes)
-    v = v.reshape(N, NT, _BQ, M, D).transpose(0, 3, 1, 4, 2)
+    # Mosaic's dynamic_gather is 32-bit: slab is f32, or pair-packed
+    # bf16 lanes when `packed` (halves gather vreg traffic)
+    if packed:
+        assert D % 2 == 0, D
+        vb = _tile_tokens(value.astype(jnp.bfloat16), spatial_shapes)
+        vb = vb.reshape(N, NT, _BQ, M, D).transpose(0, 3, 1, 4, 2)
+        u = jax.lax.bitcast_convert_type(vb, jnp.uint16).astype(jnp.uint32)
+        even, odd = u[:, :, :, 0::2], u[:, :, :, 1::2]
+        v = jax.lax.bitcast_convert_type(
+            (odd << 16) | even, jnp.int32)       # (N, M, NT, D/2, 128)
+    else:
+        v = _tile_tokens(value.astype(jnp.float32), spatial_shapes)
+        v = v.reshape(N, NT, _BQ, M, D).transpose(0, 3, 1, 4, 2)
 
     locx = loc[..., 0].transpose(0, 2, 3, 4, 1).reshape(N, M, L * P, lq_t)
     locy = loc[..., 1].transpose(0, 2, 3, 4, 1).reshape(N, M, L * P, lq_t)
@@ -287,26 +326,36 @@ def _prep_inputs(value, spatial_shapes, sampling_locations,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("spatial_shapes", "interpret"))
+                   static_argnames=("spatial_shapes", "interpret",
+                                    "packed"))
 def ms_deform_attn_pallas(value: jax.Array,
                           spatial_shapes: Tuple[Tuple[int, int], ...],
                           sampling_locations: jax.Array,
                           attention_weights: jax.Array,
-                          interpret: bool = False) -> jax.Array:
+                          interpret: bool = False,
+                          packed: bool = None) -> jax.Array:
     """Same signature/semantics as ops.ms_deform_attn.ms_deform_attn.
 
     value (N, S, M, D); sampling_locations (N, Lq, M, L, P, 2) in [0,1];
     attention_weights (N, Lq, M, L, P). Returns (N, Lq, M*D).
+
+    packed: pair-pack bf16 value channels into i32 gather lanes
+    (numerics = bf16 value sampling, exact for bf16 inputs); None reads
+    SDT_PACKED_GATHER and requires a bf16 value tensor.
     """
     N, S, M, D = value.shape
     _, Lq, _, L, P, _ = sampling_locations.shape
+    if packed is None:
+        packed = (_PACKED_GATHER and value.dtype == jnp.bfloat16
+                  and D % 2 == 0)
     geom, NT = _tile_geom(spatial_shapes)
     v, locx, locy, attn, tiled_q, lq_t = _prep_inputs(
-        value, spatial_shapes, sampling_locations, attention_weights)
+        value, spatial_shapes, sampling_locations, attention_weights,
+        packed=packed)
 
     grid = (N, M, lq_t // _BQ)
     kernel = functools.partial(_fwd_kernel, spatial_shapes=spatial_shapes,
-                               n_points=P)
+                               n_points=P, packed=packed)
 
     out = pl.pallas_call(
         kernel,
@@ -321,7 +370,7 @@ def ms_deform_attn_pallas(value: jax.Array,
             pl.BlockSpec((1, 1, L * P, _BQ),
                          lambda n, m, q: (n, m, 0, q),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, NT, D, _BQ),
+            pl.BlockSpec((1, 1, NT, D // 2 if packed else D, _BQ),
                          lambda n, m, q: (n, m, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -340,6 +389,11 @@ def ms_deform_attn_pallas(value: jax.Array,
         ),
     )(locx, locy, attn, v)
 
+    if packed:
+        # kernel rows are [even channels; odd channels] — re-interleave
+        import numpy as np
+        perm = np.argsort(np.r_[np.arange(0, D, 2), np.arange(1, D, 2)])
+        out = out[:, :, perm, :]
     out = out.transpose(0, 3, 1, 2).reshape(N, lq_t, M * D)
     if tiled_q:
         out = _untile_tokens(out, spatial_shapes)

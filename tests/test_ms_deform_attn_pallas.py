@@ -169,3 +169,21 @@ def test_sorted_path_gradients_match_oracle():
     for a, b in zip(gs, gr):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_packed_bf16_gather_matches_bf16_oracle():
+    """SDT_PACKED_GATHER path: pair-packed bf16 gather must equal the
+    oracle computed on the bf16-cast value (only the value cast loses
+    precision; packing itself is exact)."""
+    rs = np.random.RandomState(21)
+    v, loc, aw = _inputs(rs, d=8, lq=40)
+    vb = v.astype(jnp.bfloat16)
+    ref = ms_deform_attn(vb.astype(jnp.float32), SHAPES, loc, aw)
+    got = ms_deform_attn_pallas(vb, SHAPES, loc, aw, interpret=True,
+                                packed=True)
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(ref), rtol=2e-2, atol=2e-2)
+    # and close to the unpacked f32 path at bf16 tolerance
+    got32 = ms_deform_attn_pallas(v, SHAPES, loc, aw, interpret=True)
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(got32), rtol=3e-2, atol=3e-2)

@@ -78,6 +78,9 @@ def main():
     p.add_argument("--offset-px", type=float, default=4.0)
     p.add_argument("--skip-xla", action="store_true")
     p.add_argument("--skip-parity", action="store_true")
+    p.add_argument("--bf16-value", action="store_true",
+                   help="cast the value slab to bf16 (enables the "
+                        "SDT_PACKED_GATHER fwd path when set)")
     args = p.parse_args()
 
     import jax
@@ -97,6 +100,8 @@ def main():
     value, loc, attn = make_inputs(rs, args.batch, args.heads, args.dim,
                                    args.points, shapes, args.offset_px)
     value, loc, attn = map(jnp.asarray, (value, loc, attn))
+    if args.bf16_value:
+        value = value.astype(jnp.bfloat16)
     g = jnp.asarray(rs.randn(args.batch, S,
                              args.heads * args.dim).astype(np.float32))
 

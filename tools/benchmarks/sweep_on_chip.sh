@@ -38,7 +38,10 @@ SDT_BWD_SKIP_DV=1 run python tools/benchmarks/attn_kernel_bench.py \
   --iters 5 --skip-xla --skip-parity
 SDT_FWD_NO_GATHER=1 run python tools/benchmarks/attn_kernel_bench.py \
   --iters 5 --skip-xla --skip-parity
-# 4. flagship supervised train step
+# 4. packed-bf16 gather A/B (fwd-only experiment)
+SDT_PACKED_GATHER=1 run python tools/benchmarks/attn_kernel_bench.py \
+  --iters 5 --skip-xla --skip-parity --bf16-value
+# 5. flagship supervised train step
 run python tools/benchmarks/train_step_bench.py --batch 2 --steps 5
 # 5. the driver metric
 run python bench.py
