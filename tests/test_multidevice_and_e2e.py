@@ -54,8 +54,7 @@ def _tiny_batch(b, g, rs):
     }
 
 
-@pytest.mark.slow
-def test_mesh_equivalence_1dev_vs_8dev():
+def _mesh_equivalence_body():
     import optax
 
     from semi_detr_tpu.models.dino_head import DINODetector
@@ -96,6 +95,43 @@ def test_mesh_equivalence_1dev_vs_8dev():
         np.asarray(s1.params["detector"]["label_enc"]),
         np.asarray(s8.params["detector"]["label_enc"]),
         rtol=1e-4, atol=1e-6)
+    print("MESH_EQUIV_OK")
+
+
+@pytest.mark.slow
+def test_mesh_equivalence_1dev_vs_8dev():
+    """Runs the equivalence check in a SUBPROCESS with one retry: XLA's
+    CPU 8-virtual-device collective execution intermittently hard-aborts
+    the whole process on this 1-vCPU sandbox (upstream race — no
+    rendezvous-timeout warning, silent SIGABRT mid-execution). The
+    numerics themselves are deterministic; the abort is pure runtime
+    flake, so contain it in a child and retry once."""
+    import subprocess
+    import sys
+
+    env = dict(os.environ)
+    env.setdefault("JAX_PLATFORMS", "cpu")
+    last = None
+    for attempt in range(3):
+        out = subprocess.run(
+            [sys.executable, "-c",
+             "import sys; sys.path.insert(0, %r); "
+             "import importlib.util as u; "
+             "spec = u.spec_from_file_location('meq', %r); "
+             "m = u.module_from_spec(spec); spec.loader.exec_module(m); "
+             "m._mesh_equivalence_body()" % (
+                 os.path.dirname(os.path.dirname(os.path.abspath(
+                     __file__))), os.path.abspath(__file__))],
+            env=env, capture_output=True, text=True, timeout=1800)
+        last = out
+        if out.returncode == 0 and "MESH_EQUIV_OK" in out.stdout:
+            return
+        if out.returncode < 0 or out.returncode == 134:
+            continue                      # runtime abort flake: retry
+        break                             # real assertion failure
+    raise AssertionError(
+        f"mesh equivalence failed (rc={last.returncode}):\n"
+        f"{last.stdout[-2000:]}\n{last.stderr[-2000:]}")
 
 
 # --------------------------------------------------------------------------
