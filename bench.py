@@ -1,21 +1,24 @@
-"""Benchmark: supervised train-step throughput (images/sec/chip).
+"""Benchmark: SSOD recipe train-step throughput (images/sec/chip).
 
 Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
 
-This measures the north-star metric from BASELINE.json: train images/sec
-per chip on the flagship recipe shapes — DINO-DETR R50, 900 queries, CDN,
-800x1344 bucket, bf16 compute + per-layer remat, Pallas deform-attention
-kernels, AdamW + grad clip (the full fwd+bwd+update program the 120k
-recipe runs). The reference publishes no throughput numbers (SURVEY.md
-§6); BASELINE.json's target is >=2x the A100 reference images/s/chip.
-`vs_baseline` is computed against an ESTIMATED A100 reference throughput
-of 2.5 img/s/GPU (the reference recipe trains bs5/GPU on 8xA100,
-`README.md:104-121`; typical DINO-R50 A100 training throughput is
-2-4 img/s/GPU — 2.5 is the midpoint estimate used consistently across
-rounds; vs_baseline >= 2.0 meets the north star).
+This measures the north-star workload from BASELINE.json: the Semi-DETR
+recipe step — 1 supervised + 4 unsupervised images per chip, two views
+of each unsup image (reference `detr_ssod_dino_detr_r50_coco_120k.py:3-5`
+trains bs5/GPU at ratio [1,4]), warm-up stage (all machinery live:
+teacher pseudo-labeling + NMS + GMM filter, CDN, RoIAlign+Projector
+consistency queries, teacher consistency forward, EMA), DINO-DETR R50,
+900 queries, 800x1344 bucket, bf16 compute + per-layer remat, Pallas
+deform-attention kernels, AdamW + grad clip.
+
+The reference publishes no throughput numbers (SURVEY.md §6);
+`vs_baseline` is computed against an ESTIMATED A100 reference recipe
+throughput of 2.5 img/s/GPU (typical Semi-DETR/DINO-R50 A100 iteration
+is ~1.5-2.5 s at bs5 -> 2-3.3 img/s; 2.5 is the midpoint estimate used
+consistently across rounds; vs_baseline >= 2.0 meets the north star).
 
 Compiles are served by the persistent compilation cache
-(JAX_COMPILATION_CACHE_DIR), so reruns skip the ~8 min flagship compile.
+(JAX_COMPILATION_CACHE_DIR), so reruns skip the ~10 min flagship compile.
 """
 from __future__ import annotations
 
@@ -57,7 +60,56 @@ def _probe_devices(timeout_s: int = 120):
     return "cpu"
 
 
-def main():
+def _bench_ssod_tpu():
+    """Flagship SSOD recipe step on the chip."""
+    import optax
+
+    from semi_detr_tpu.data.synthetic import synthetic_ssod_batch
+    from semi_detr_tpu.models.dino_head import DinoConfig, DINODetector
+    from semi_detr_tpu.models.ssod import Projector, SsodConfig
+    from semi_detr_tpu.train import optim
+    from semi_detr_tpu.train.ssod import (init_ssod_state,
+                                          make_ssod_train_step)
+
+    n_sup, n_unsup, h, w = 1, 4, 800, 1344
+    cfg = SsodConfig(dino=DinoConfig(dtype=jnp.bfloat16, remat=True))
+    detector, projector = DINODetector(cfg.dino), Projector(cfg.dino.d_model)
+
+    rng = jax.random.PRNGKey(0)
+    batch = jax.tree.map(jnp.asarray,
+                         synthetic_ssod_batch(n_sup, n_unsup, h, w,
+                                              cfg.dino.max_gt))
+    state = init_ssod_state(detector, projector, optax.identity(), cfg, rng,
+                            batch["sup"]["images"][:1],
+                            batch["sup"]["img_hw"][:1])
+    tx = optim.make_optimizer(state.params)
+    state = state.replace(opt_state=tx.init(state.params))
+    step = make_ssod_train_step(detector, projector, tx, cfg, warm_up=True)
+
+    # compile + warm-up (force host sync: axon's block_until_ready may
+    # not actually block)
+    state, metrics = step(state, batch, rng)
+    _ = float(metrics["total_loss"])
+
+    ts = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        state, metrics = step(state, batch, rng)
+        _ = float(metrics["total_loss"])
+        ts.append(time.perf_counter() - t0)
+    med = sorted(ts)[len(ts) // 2]
+    ips = (n_sup + n_unsup) / med
+    return {
+        "metric": "train_images_per_sec_chip",
+        "value": round(ips, 3),
+        "unit": f"img/s/chip (SSOD recipe step 1sup+4unsup, tpu, {h}x{w}, "
+                "warm-up stage, bf16+remat)",
+        "vs_baseline": round(ips / A100_REF_IMG_PER_SEC, 3),
+    }
+
+
+def _bench_supervised_cpu():
+    """CPU fallback: tiny supervised step so the bench always completes."""
     import numpy as np
 
     from semi_detr_tpu.models.dino_head import DinoConfig, DINODetector
@@ -65,20 +117,11 @@ def main():
     from semi_detr_tpu.train.state import TrainState
     from semi_detr_tpu.train.supervised import make_supervised_train_step
 
-    platform = _probe_devices()
-    if platform == "tpu":
-        b, h, w = 2, 800, 1344
-        cfg = DinoConfig(dtype=jnp.bfloat16, remat=True)
-        n_iter = 5
-    else:
-        # CPU fallback: tiny shapes so the bench always completes
-        b, h, w = 1, 128, 160
-        cfg = DinoConfig(num_classes=7, num_queries=24, d_model=64,
-                         n_heads=2, num_encoder_layers=1,
-                         num_decoder_layers=2, d_ffn=64, dn_single_pad=4,
-                         dn_groups=2, max_gt=8)
-        n_iter = 2
-
+    b, h, w = 1, 128, 160
+    cfg = DinoConfig(num_classes=7, num_queries=24, d_model=64,
+                     n_heads=2, num_encoder_layers=1,
+                     num_decoder_layers=2, d_ffn=64, dn_single_pad=4,
+                     dn_groups=2, max_gt=8)
     model = DINODetector(cfg)
     rng = jax.random.PRNGKey(0)
     rs = np.random.RandomState(0)
@@ -94,35 +137,34 @@ def main():
             "valid": jnp.tile(jnp.arange(g)[None] < 8, (b, 1)),
         },
     }
-
     variables = jax.jit(model.init)({"params": rng}, images[:1], hw[:1])
     tx = optim.make_optimizer(variables["params"])
     state = TrainState.create(variables, tx, with_teacher=False)
     step = make_supervised_train_step(model, tx, warm_up=False)
-
-    # compile + warm-up (force host sync: axon's block_until_ready may
-    # not actually block)
     state, metrics = step(state, batch, rng)
     _ = float(metrics["total_loss"])
-
     ts = []
-    for _ in range(n_iter):
+    for _ in range(2):
         t0 = time.perf_counter()
         state, metrics = step(state, batch, rng)
         _ = float(metrics["total_loss"])
         ts.append(time.perf_counter() - t0)
     med = sorted(ts)[len(ts) // 2]
-    ips = b / med
-
-    print(json.dumps({
+    return {
         "metric": "train_images_per_sec_chip",
-        "value": round(ips, 3),
-        "unit": f"img/s/chip (supervised step, {platform}, {h}x{w}, "
-                f"bs{b}, bf16+remat)" if platform == "tpu" else
-                f"img/s/chip (supervised step, {platform}, tiny)",
-        "vs_baseline": (round(ips / A100_REF_IMG_PER_SEC, 3)
-                        if platform == "tpu" else None),
-    }))
+        "value": round(b / med, 3),
+        "unit": "img/s/chip (supervised step, cpu, tiny)",
+        "vs_baseline": None,
+    }
+
+
+def main():
+    platform = _probe_devices()
+    if platform == "tpu":
+        out = _bench_ssod_tpu()
+    else:
+        out = _bench_supervised_cpu()
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

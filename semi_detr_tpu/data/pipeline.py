@@ -42,29 +42,43 @@ DEFAULT_BUCKETS: Tuple[Tuple[int, int], ...] = (
 BUCKET_SHORTS: Tuple[int, ...] = (544, 672, 800)
 
 
+def _quantize_short(short: int, base_bucket) -> int:
+    """Bucket short-side for a scale's short side.
+
+    Fallback = the configured bucket's short side: custom scale sets
+    with short > max(BUCKET_SHORTS) must still get a bucket that FITS
+    the resize (keep-ratio resize short side <= scale short <= bh)."""
+    bh = next((s for s in BUCKET_SHORTS if s >= short), min(base_bucket))
+    return min(bh, min(base_bucket))
+
+
 def pick_step_bucket(bucket_rng, scales, base_bucket, flag):
-    """Multi-bucket training: draw ONE scale for this step and quantize it
-    to a bucket.
+    """Multi-bucket training: draw ONE scale for this step, quantize it to
+    a bucket, and return every scale in that bucket's quantization class.
 
-    Deviation from the reference (documented): the reference draws a
-    resize scale PER IMAGE (`rand_aug.py` RandResize); drawing one scale
-    per STEP keeps every batch in one static bucket so the step count of
-    compiled programs stays at (3 sizes x 2 orientations). `bucket_rng`
-    must be advanced exactly once per step so multi-host shards agree.
+    The reference draws a resize scale PER IMAGE, uniform over the 11
+    scales (`rand_aug.py:880-950` RandResize); a static-shape batch must
+    instead share one bucket per step. Drawing the bucket by a uniform
+    scale draw and then letting each image draw uniformly from the scales
+    that QUANTIZE to that bucket is the unique two-stage scheme whose
+    per-image scale marginal is exactly the reference's uniform
+    distribution (the class sizes are the bucket probabilities), while
+    keeping the compiled-program count at (3 sizes x 2 orientations).
+    `bucket_rng` must be advanced exactly once per step so multi-host
+    shards agree.
 
-    Returns (scale, (H, W) bucket) with the bucket oriented by `flag`
-    (1 = landscape).
+    Returns (class_scales, (H, W) bucket) with the bucket oriented by
+    `flag` (1 = landscape). Per-image diversity happens downstream:
+    `make_*_batch` passes `class_scales` to the aug pipeline, whose
+    `rand_resize` draws per image.
     """
     scale = tuple(scales[int(bucket_rng.integers(len(scales)))])
-    short = min(scale)
     long_side = max(base_bucket)
-    # fallback = the configured bucket's short side: custom scale sets
-    # with short > max(BUCKET_SHORTS) must still get a bucket that FITS
-    # the resize (keep-ratio resize short side <= scale short <= bh)
-    bh = next((s for s in BUCKET_SHORTS if s >= short), min(base_bucket))
-    bh = min(bh, min(base_bucket))
+    bh = _quantize_short(min(scale), base_bucket)
+    class_scales = [tuple(s) for s in scales
+                    if _quantize_short(min(s), base_bucket) == bh]
     bucket = (bh, long_side) if flag == 1 else (long_side, bh)
-    return scale, bucket
+    return class_scales, bucket
 
 
 def pick_bucket(h: int, w: int,

@@ -59,3 +59,42 @@ def write_synthetic_coco(root: str, n: int = 8,
     if splits is None:
         return dump("ann", range(n)), img_dir
     return {name: dump(name, idx) for name, idx in splits.items()}, img_dir
+
+
+def synthetic_ssod_batch(n_sup: int, n_unsup: int, h: int, w: int,
+                         max_gt: int, gt_per_image: int = 8, seed: int = 0):
+    """Random SSOD recipe batch at given shapes (benchmarks, smoke tests).
+
+    Mirrors the train-loop batch layout (`train/loop.py:batches`): sup
+    images with packed GT, unsup teacher/weak + student/strong views with
+    identity transform matrices (the model cost is view-content
+    independent, so random pixels measure the real step).
+    """
+    import numpy as np
+    rs = np.random.RandomState(seed)
+
+    def imgs(n):
+        return rs.randn(n, h, w, 3).astype(np.float32) * 0.5
+
+    def hws(n):
+        return np.tile(np.asarray([[h, w]], np.int32), (n, 1))
+
+    g = max_gt
+    cxy = rs.uniform(0.3, 0.7, (n_sup, g, 2)).astype(np.float32)
+    wh = rs.uniform(0.1, 0.3, (n_sup, g, 2)).astype(np.float32)
+    eye = np.tile(np.eye(3, dtype=np.float32)[None], (n_unsup, 1, 1))
+    return {
+        "sup": {
+            "images": imgs(n_sup), "img_hw": hws(n_sup),
+            "gt": {"boxes": np.concatenate([cxy, wh], -1),
+                   "labels": rs.randint(0, 80, (n_sup, g)).astype(np.int32),
+                   "valid": np.tile(np.arange(g)[None] < gt_per_image,
+                                    (n_sup, 1))},
+        },
+        "unsup": {
+            "student_images": imgs(n_unsup), "student_hw": hws(n_unsup),
+            "student_tmat": eye,
+            "teacher_images": imgs(n_unsup), "teacher_hw": hws(n_unsup),
+            "teacher_tmat": eye.copy(),
+        },
+    }

@@ -35,8 +35,11 @@ from ..ops.ms_deform_attn import ms_deform_attn, sampling_offsets_init_bias
 xavier_uniform = nn.initializers.xavier_uniform()
 
 
-def inverse_sigmoid(x, eps: float = 1e-3):
-    """Matches mmdet inverse_sigmoid (clamped logit)."""
+def inverse_sigmoid(x, eps: float = 1e-5):
+    """Matches mmdet inverse_sigmoid (clamped logit, eps=1e-5 — the
+    reference routes every call site through
+    mmdet/models/utils/transformer.py:358 or its own copy at
+    detr_od/models/utils/transformer.py:435, both eps=1e-5)."""
     x = jnp.clip(x, 0, 1)
     x1 = jnp.clip(x, eps, None)
     x2 = jnp.clip(1 - x, eps, None)
@@ -190,12 +193,12 @@ class EncoderLayer(nn.Module):
                               name="self_attn")(
             src + pos, reference_points, src, spatial_shapes,
             key_padding_mask)
-        src = nn.LayerNorm(dtype=self.dtype, name="norm1")(src + h)
+        src = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(src + h)
         f = nn.Dense(self.d_ffn, kernel_init=xavier_uniform,
                      dtype=self.dtype, name="linear1")(src)
         f = nn.Dense(self.d_model, kernel_init=xavier_uniform,
                      dtype=self.dtype, name="linear2")(nn.relu(f))
-        return nn.LayerNorm(dtype=self.dtype, name="norm2")(src + f)
+        return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(src + f)
 
 
 def encoder_reference_points(spatial_shapes, valid_ratios):
@@ -262,7 +265,7 @@ class DecoderLayer(nn.Module):
             kernel_init=xavier_uniform, dtype=self.dtype,
             name="self_attn")(
             inputs_q=q, inputs_k=q, inputs_v=tgt, mask=attn_mask)
-        tgt = nn.LayerNorm(dtype=self.dtype, name="norm2")(tgt + h)
+        tgt = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(tgt + h)
 
         # cross attention
         h = MSDeformAttention(self.d_model, self.n_heads, self.n_levels,
@@ -270,14 +273,14 @@ class DecoderLayer(nn.Module):
                               name="cross_attn")(
             tgt + query_pos, reference_points_input, memory, spatial_shapes,
             memory_key_padding_mask)
-        tgt = nn.LayerNorm(dtype=self.dtype, name="norm1")(tgt + h)
+        tgt = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(tgt + h)
 
         # ffn
         f = nn.Dense(self.d_ffn, kernel_init=xavier_uniform,
                      dtype=self.dtype, name="linear1")(tgt)
         f = nn.Dense(self.d_model, kernel_init=xavier_uniform,
                      dtype=self.dtype, name="linear2")(nn.relu(f))
-        return nn.LayerNorm(dtype=self.dtype, name="norm3")(tgt + f)
+        return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm3")(tgt + f)
 
 
 class DINOTransformer(nn.Module):
@@ -311,7 +314,7 @@ class DINOTransformer(nn.Module):
             (self.num_queries, self.d_model))
         self.enc_output = nn.Dense(self.d_model, kernel_init=xavier_uniform,
                                    dtype=self.dtype)
-        self.enc_output_norm = nn.LayerNorm(dtype=self.dtype)
+        self.enc_output_norm = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)
         # Save the deform-attn outputs across remat (policy below): the
         # Pallas gather kernel is the step's hot spot, so replaying it in
         # the backward would cost ~a third of the attention budget for a
@@ -335,7 +338,7 @@ class DINOTransformer(nn.Module):
                     self.n_levels, self.dec_n_points, dtype=self.dtype,
                     name=f"dec_{i}")
             for i in range(self.num_decoder_layers)]
-        self.decoder_norm = nn.LayerNorm(dtype=self.dtype)
+        self.decoder_norm = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)
         self.ref_point_head = Mlp(self.d_model, self.d_model, 2,
                                   dtype=self.dtype)
 

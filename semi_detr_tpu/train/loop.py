@@ -29,7 +29,8 @@ from ..models.dino_head import DinoConfig, DINODetector
 from ..models.inference import evaluate_teacher_and_student
 from ..models.ssod import Projector, SsodConfig
 from ..parallel import make_mesh, shard_batch
-from ..utils.logging import MetricsLogger, weight_summary
+from ..utils.logging import (MetricsLogger, log_image_with_boxes,
+                             weight_summary)
 from . import optim
 from .checkpoint import CheckpointManager
 from .ssod import init_ssod_state, make_ssod_train_step
@@ -107,8 +108,13 @@ class SsodTrainer:
                  use_mesh: bool = True, backbone_init: Optional[str] = None,
                  load_from: Optional[str] = None,
                  multi_bucket: bool = False,
-                 epoch_length: int = 7330):
+                 epoch_length: int = 7330,
+                 image_log_interval: int = 2000):
         self.cfg = cfg
+        self.work_dir = work_dir
+        # throttled pseudo-label render interval, 0 = off (reference
+        # log_image_with_boxes, detr_ssod/utils/logger.py:91-161)
+        self.image_log_interval = image_log_interval
         self.multi_bucket = multi_bucket
         self.epoch_length = epoch_length
         self.scales = scales
@@ -198,10 +204,10 @@ class SsodTrainer:
                 step = ep * self.epoch_length + i
                 scales = self.scales
                 if self.multi_bucket:
-                    step_scale, bucket = pick_step_bucket(
+                    # per-image scales drawn from the bucket's class
+                    scales, bucket = pick_step_bucket(
                         np.random.default_rng((self.seed, 99, step)),
                         self.scales or COCO_SCALES, self.bucket, flag)
-                    scales = [step_scale]
                 else:
                     bucket = _bucket_for_flag(self.bucket, flag)
                 rng = np.random.default_rng((self.seed, 7, step))
@@ -237,10 +243,22 @@ class SsodTrainer:
             if step >= total:
                 break
             warm_up = step < self.cfg.warm_up_step
+            vis_img = np.asarray(batch["unsup"]["student_images"][0])
             if self.mesh is not None:
                 batch = shard_batch(batch, self.mesh)
             step_fn = self._get_step(warm_up)
             self.state, metrics = step_fn(self.state, batch, rng)
+            vis = metrics.pop("pseudo_vis", None)
+            if (vis is not None and self.image_log_interval
+                    and step % self.image_log_interval == 0
+                    and jax.process_index() == 0):
+                vis = jax.device_get(vis)
+                log_image_with_boxes(
+                    self.work_dir, "pseudo_vis", step, vis_img,
+                    vis["boxes"], vis["labels"], vis["scores"],
+                    vis["keep"],
+                    class_names=getattr(self.unsup_dataset, "classes",
+                                        None))
             self.logger.log_step(step, metrics)
             self.ckpt.maybe_save(self.state)
             if (self.val_dataset is not None and step > 0
@@ -372,9 +390,9 @@ class SupervisedTrainer:
             idx = idx[shard * self.batch_size:(shard + 1) * self.batch_size]
             scales = self.scales
             if self.multi_bucket:
-                step_scale, bucket = pick_step_bucket(
+                # per-image scales drawn from the bucket's class
+                scales, bucket = pick_step_bucket(
                     bucket_rng, self.scales or COCO_SCALES, self.bucket, f)
-                scales = [step_scale]
             else:
                 bucket = _bucket_for_flag(self.bucket, f)
             if step >= start_step:

@@ -122,6 +122,46 @@ class MetricsLogger:
             self.tb.close()
 
 
+def log_image_with_boxes(work_dir: str, tag: str, step: int,
+                         image: np.ndarray, boxes: np.ndarray,
+                         labels: np.ndarray, scores: np.ndarray = None,
+                         keep: np.ndarray = None, class_names=None,
+                         denormalize: bool = True) -> str:
+    """Render boxes onto a (normalized) training image and save it under
+    `work_dir/tag/step_N.jpg` — the file backend of the reference's
+    `log_image_with_boxes` (detr_ssod/utils/logger.py:91-161), used to
+    eyeball teacher pseudo labels during SSOD training.
+
+    image: (H, W, 3) float normalized (ImageNet mean/std) or uint8 RGB.
+    boxes: (P, 4) xyxy pixels; keep: (P,) bool mask of drawn boxes
+    (kept pseudo labels); dropped-but-valid boxes are NOT drawn, matching
+    the reference which renders the post-filter set.
+    """
+    import cv2
+    if denormalize and image.dtype != np.uint8:
+        from ..data.augment import IMG_MEAN, IMG_STD
+        image = np.clip(np.asarray(image) * IMG_STD + IMG_MEAN,
+                        0, 255).astype(np.uint8)
+    img = cv2.cvtColor(image, cv2.COLOR_RGB2BGR).copy()
+    n = len(boxes)
+    keep = np.ones((n,), bool) if keep is None else np.asarray(keep)
+    for i in range(n):
+        if not keep[i]:
+            continue
+        x0, y0, x1, y1 = (int(v) for v in boxes[i])
+        cv2.rectangle(img, (x0, y0), (x1, y1), (0, 255, 0), 2)
+        name = (class_names[int(labels[i])] if class_names
+                else str(int(labels[i])))
+        txt = name if scores is None else f"{name}:{float(scores[i]):.2f}"
+        cv2.putText(img, txt, (x0, max(y0 - 4, 0)),
+                    cv2.FONT_HERSHEY_SIMPLEX, 0.5, (0, 255, 0), 1)
+    out_dir = os.path.join(work_dir, tag)
+    os.makedirs(out_dir, exist_ok=True)
+    out_file = os.path.join(out_dir, f"step_{step}.jpg")
+    cv2.imwrite(out_file, img)
+    return out_file
+
+
 def weight_summary(params, tx_labels=None, lrs=None) -> str:
     """Parameter table: name, shape, #params (+ optimizer group), like the
     reference WeightSummary hook."""

@@ -160,17 +160,36 @@ def test_pick_step_bucket():
     rng2 = np.random.default_rng(5)
     seen = set()
     for _ in range(60):
-        scale, bucket = pick_step_bucket(rng1, COCO_SCALES, (800, 1344), 1)
-        scale2, bucket2 = pick_step_bucket(rng2, COCO_SCALES,
-                                           (800, 1344), 0)
-        # shard-deterministic: same rng stream -> same scale either flag
-        assert scale == scale2
+        scales, bucket = pick_step_bucket(rng1, COCO_SCALES, (800, 1344), 1)
+        scales2, bucket2 = pick_step_bucket(rng2, COCO_SCALES,
+                                            (800, 1344), 0)
+        # shard-deterministic: same rng stream -> same class either flag
+        assert scales == scales2
         assert bucket == (bucket2[1], bucket2[0])   # orientation transpose
-        # bucket contains the worst-case resized dims for this scale
-        assert bucket[0] >= min(scale) and bucket[1] >= 1333
+        # bucket contains the worst-case resized dims for every class scale
+        for s in scales:
+            assert bucket[0] >= min(s) and bucket[1] >= 1333
         seen.add(bucket)
     # the 11 scales quantize onto exactly 3 landscape buckets
     assert seen == {(544, 1344), (672, 1344), (800, 1344)}
+
+    # a per-image draw from the returned class keeps the reference's
+    # UNIFORM marginal over the 11 scales (rand_aug.py:880-950): the
+    # class sizes are the bucket probabilities, so the two-stage draw
+    # composes back to 1/11 per scale
+    classes = {}
+    rng = np.random.default_rng(0)
+    for _ in range(400):
+        scales, bucket = pick_step_bucket(rng, COCO_SCALES, (800, 1344), 1)
+        classes[bucket] = tuple(scales)
+    per_scale = {}
+    for cls in classes.values():
+        for s in cls:
+            assert s not in per_scale, "classes must partition the scales"
+            per_scale[s] = len(cls)
+    assert set(per_scale) == {tuple(s) for s in COCO_SCALES}
+    # P(scale) = P(bucket) * 1/|class| = (|class|/11) * 1/|class| = 1/11
+    # holds for any partition -> verified by the partition asserts above
 
 
 def test_pick_step_bucket_custom_large_scales():
@@ -179,8 +198,8 @@ def test_pick_step_bucket_custom_large_scales():
     the fallback used to cap at 800)."""
     from semi_detr_tpu.data.pipeline import pick_step_bucket
     rng = np.random.default_rng(0)
-    scale, bucket = pick_step_bucket(rng, [(900, 1500)], (900, 1504), 1)
-    assert scale == (900, 1500)
+    scales, bucket = pick_step_bucket(rng, [(900, 1500)], (900, 1504), 1)
+    assert scales == [(900, 1500)]
     assert bucket == (900, 1504)
     # portrait flag transposes
     _, bp = pick_step_bucket(np.random.default_rng(0), [(900, 1500)],
@@ -219,3 +238,26 @@ def test_checkpoint_force_save_after_interval_save(tmp_path):
     assert mgr.maybe_save(st) is True
     assert mgr.maybe_save(st, force=True) is False   # no re-save crash
     mgr.close()
+
+
+def test_log_image_with_boxes(tmp_path):
+    """Pseudo-label visualization (reference log_image_with_boxes file
+    backend, detr_ssod/utils/logger.py:91-161): denormalizes, draws only
+    kept boxes, writes work_dir/tag/step_N.jpg."""
+    from semi_detr_tpu.data.augment import IMG_MEAN, IMG_STD
+    from semi_detr_tpu.utils.logging import log_image_with_boxes
+
+    img = (np.full((60, 80, 3), 128.0, np.float32) - IMG_MEAN) / IMG_STD
+    boxes = np.array([[5, 5, 30, 40], [50, 10, 70, 50]], np.float32)
+    out = log_image_with_boxes(
+        str(tmp_path), "pseudo_vis", 42, img.astype(np.float32), boxes,
+        labels=np.array([0, 1]), scores=np.array([0.9, 0.4]),
+        keep=np.array([True, False]), class_names=("cat", "dog"))
+    assert out.endswith("pseudo_vis/step_42.jpg")
+    import cv2
+    rendered = cv2.imread(out)
+    assert rendered is not None and rendered.shape == (60, 80, 3)
+    # kept box: strong green edge; dropped box: its right edge (x=69,
+    # far from any kept drawing) stays near the gray background
+    assert (rendered[10:35, 5, 1] > 200).mean() > 0.8
+    assert np.abs(rendered[15:49, 69].astype(int) - 128).max() < 30

@@ -24,7 +24,10 @@ def main():
     p.add_argument("--width", type=int, default=1344)
     p.add_argument("--no-remat", action="store_true")
     p.add_argument("--ssod", action="store_true",
-                   help="benchmark the full SSOD step instead")
+                   help="benchmark the full SSOD recipe step "
+                        "(1 sup + 4 unsup, two views, warm-up stage)")
+    p.add_argument("--post-warmup", action="store_true",
+                   help="with --ssod: the post-warm-up stage program")
     args = p.parse_args()
 
     import jax
@@ -34,6 +37,9 @@ def main():
     from semi_detr_tpu.train import optim
     from semi_detr_tpu.train.state import TrainState
     from semi_detr_tpu.train.supervised import make_supervised_train_step
+
+    if args.ssod:
+        return ssod_bench(args)
 
     cfg = DinoConfig(dtype=jnp.bfloat16, remat=not args.no_remat)
     model = DINODetector(cfg)
@@ -61,8 +67,6 @@ def main():
 
     tx = optim.make_optimizer(variables["params"])
     state = TrainState.create(variables, tx, with_teacher=False)
-    if args.ssod:
-        raise SystemExit("use the training CLI for the SSOD step")
     step = make_supervised_train_step(model, tx, warm_up=False)
 
     t0 = time.time()
@@ -80,6 +84,65 @@ def main():
     med = sorted(ts)[len(ts) // 2]
     print(f"steady-state: {med * 1000:.0f} ms/step "
           f"-> {b / med:.2f} img/s/chip (bs{b}, {h}x{w})")
+
+
+def ssod_bench(args):
+    """Full SSOD recipe step (the north-star workload, reference
+    `configs/detr_ssod/detr_ssod_dino_detr_r50_coco_120k.py:3-5`):
+    1 sup + `--batch` unsup images, two views each, on one chip."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from semi_detr_tpu.data.synthetic import synthetic_ssod_batch
+    from semi_detr_tpu.models.dino_head import DinoConfig, DINODetector
+    from semi_detr_tpu.models.ssod import Projector, SsodConfig
+    from semi_detr_tpu.train import optim
+    from semi_detr_tpu.train.ssod import (init_ssod_state,
+                                          make_ssod_train_step)
+
+    # --batch sets the unsup count; the default (2, supervised-oriented)
+    # maps to the recipe's 4 unsup per sup
+    n_sup, n_unsup = 1, (4 if args.batch == 2 else args.batch)
+    h, w = args.height, args.width
+    cfg = SsodConfig(dino=DinoConfig(dtype=jnp.bfloat16,
+                                     remat=not args.no_remat))
+    detector = DINODetector(cfg.dino)
+    projector = Projector(cfg.dino.d_model)
+    rng = jax.random.PRNGKey(0)
+    batch = jax.tree.map(jnp.asarray,
+                         synthetic_ssod_batch(n_sup, n_unsup, h, w,
+                                              cfg.dino.max_gt))
+
+    t0 = time.time()
+    state = init_ssod_state(detector, projector, optax.identity(), cfg, rng,
+                            batch["sup"]["images"][:1],
+                            batch["sup"]["img_hw"][:1])
+    tx = optim.make_optimizer(state.params)
+    state = state.replace(opt_state=tx.init(state.params))
+    print(f"init: {time.time() - t0:.1f}s")
+
+    warm_up = not args.post_warmup
+    step = make_ssod_train_step(detector, projector, tx, cfg,
+                                warm_up=warm_up)
+    t0 = time.time()
+    state, metrics = step(state, batch, rng)
+    total = float(metrics["total_loss"])
+    print(f"first step (compile, warm_up={warm_up}): "
+          f"{time.time() - t0:.1f}s, loss {total:.3f}")
+
+    ts = []
+    for _ in range(args.steps):
+        t0 = time.time()
+        state, metrics = step(state, batch, rng)
+        _ = float(metrics["total_loss"])
+        ts.append(time.time() - t0)
+    med = sorted(ts)[len(ts) // 2]
+    n_img = n_sup + n_unsup
+    print(f"steady-state: {med * 1000:.0f} ms/step -> "
+          f"{n_img / med:.2f} img/s/chip "
+          f"(SSOD {n_sup}sup+{n_unsup}unsup, {h}x{w}, warm_up={warm_up})")
 
 
 if __name__ == "__main__":
