@@ -15,8 +15,10 @@ model = dict(
     d_ffn=2048,
     backbone_depth=50,
     dn_labelbook_size=81,
-    dn_single_pad=32,
-    dn_groups=3,
+    # 200-slot CDN budget (reference 2*dn_number, dn_components.py:164);
+    # the (single_pad, groups) partition adapts per batch in-graph
+    dn_single_pad=100,
+    dn_groups=1,
     dn_label_noise_ratio=0.5,
     dn_box_noise_scale=0.4,
     max_gt=100,

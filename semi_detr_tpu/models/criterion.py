@@ -99,12 +99,12 @@ def _dn_layer_loss(cls_scores, bbox_preds, gt, cdn: CdnBatch,
     has_real = ~cdn.pad_mask                              # (B,)
     # The reference pads every image's DN chunk to the BATCH max GT count
     # and trains all those slots (background where unfilled) with label
-    # weight 1 (dino_detr_head.py:800-802); slots beyond the batch max do
-    # not exist there. Our static layout allocates dn_single_pad slots —
-    # weight exactly the reference's slots, zero the rest.
-    batch_max = jnp.max(gt["valid"].sum(axis=1))          # traced scalar
-    ref_slot = (gt_idx < jnp.maximum(batch_max, 1))[None]  # (1, pad)
-    label_weights = (has_real[:, None] & ref_slot).astype(jnp.float32)
+    # weight 1 (dino_detr_head.py:800-802). In the adaptive layout
+    # (models/dn.py) the active slots ARE exactly those reference slots
+    # (single_pad_dyn == batch max); inactive remainder slots get weight 0.
+    active = (jnp.ones_like(gt_idx, bool) if cdn.slot_active is None
+              else cdn.slot_active)
+    label_weights = (has_real[:, None] & active[None]).astype(jnp.float32)
 
     bbox_targets = jnp.take(gt["boxes"], gt_idx, axis=1)  # (B, pad, 4)
     pos_mask = (is_pos[None] & slot_real).astype(jnp.float32)

@@ -52,9 +52,14 @@ class DinoConfig:
     backbone_depth: int = 50
     backbone_channels: Tuple[int, ...] = (512, 1024, 2048)
     dn_labelbook_size: int = 81
-    # static CDN layout (see models/dn.py): ~2*dn_number total dn queries
-    dn_single_pad: int = 32
-    dn_groups: int = 3
+    # CDN slot budget: 2*dn_single_pad*dn_groups STATIC slots (= the
+    # reference's 2*dn_number = 200 budget, dn_components.py:164-175);
+    # the (single_pad, groups) partition itself is computed PER BATCH as
+    # traced content (see models/dn.py) so all GTs up to
+    # dn_single_pad*dn_groups get DN supervision and small-GT batches get
+    # the reference's many noise groups
+    dn_single_pad: int = 100
+    dn_groups: int = 1
     dn_label_noise_ratio: float = 0.5
     dn_box_noise_scale: float = 0.4
     max_gt: int = 100            # GT padding capacity per image
@@ -268,8 +273,9 @@ class DINODetector(nn.Module):
                 self.label_enc, c.num_classes, c.dn_single_pad, c.dn_groups,
                 c.dn_label_noise_ratio, c.dn_box_noise_scale)
             dn_tgt, dn_ref = cdn.query_label, cdn.query_bbox
-            attn_mask = cdn_attn_mask(c.dn_single_pad, c.dn_groups,
-                                      c.num_queries)
+            attn_mask = cdn_attn_mask(cdn.single_pad, cdn.groups,
+                                      c.num_queries,
+                                      capacity=c.dn_pad_size)
 
         return self.decode_queries(enc, dn_tgt, dn_ref, attn_mask, cdn)
 

@@ -1,22 +1,33 @@
-"""Contrastive denoising (CDN) query construction — static TPU layout.
+"""Contrastive denoising (CDN) query construction — static-shape TPU
+layout with the reference's ADAPTIVE group structure as dynamic content.
 
-Re-design of the reference `prepare_for_cdn_plus`
-(`detr_od/models/dense_heads/dn_components.py:128-275`) with a fixed query
-layout so the whole construction jits:
+Reference `prepare_for_cdn_plus`
+(`detr_od/models/dense_heads/dn_components.py:128-275`): single_pad =
+max GT count in the batch, groups = (2*dn_number) // (2*single_pad),
+pad_size = 2*single_pad*groups (<= 2*dn_number ~= 200). Both quantities
+are data-dependent — a direct port would recompile per batch.
 
-Reference (dynamic): single_pad = max GT count in batch, groups =
-(2*dn_number) // (2*single_pad), pad_size = 2*single_pad*groups (~200).
-Ours (static): `single_pad` and `groups` are config constants chosen so
-single_pad matches the dataset's typical max-GT and
-2*single_pad*groups ~= 2*dn_number — identical query budget, but the
-layout (and hence the self-attention mask) is compile-time constant.
+TPU design: the query COUNT is a compile-time constant
+(`capacity = 2*dn_single_pad*dn_groups`, the 2*dn_number budget), while
+the partition of those slots into (single_pad, groups) is traced
+CONTENT computed from the batch's max GT count:
 
-Layout: [chunk_0 | chunk_1 | ... | chunk_{2G-1} | matching queries],
-chunk size = single_pad, chunks (2g, 2g+1) = (positives, negatives) of dn
-group g (reference `:199-205`). Slot j of every chunk holds GT j of the
-image; slots >= num_gt are zero-content with loss weight 0. Images with no
-GT get the reference's fake box [.5,.5,.5,.5] + random label in slot 0,
-masked out of the loss via `pad_mask` (reference `:141-160, 259-266`).
+    single_pad_dyn = min(max_gt_in_batch, capacity // 2)
+    groups_dyn     = capacity // (2 * single_pad_dyn)
+    slot s -> chunk = s // single_pad_dyn, gt = s % single_pad_dyn
+    active slots: chunk < 2 * groups_dyn (the reference's pad_size)
+
+so every GT (up to capacity//2 = dn_number per image) gets DN
+supervision AND small-GT batches get the reference's many noise groups
+(e.g. 7 GTs -> 14 groups at the default capacity 200), with ONE compiled
+program. Inactive remainder slots are zero-content, attention-isolated,
+and loss-masked.
+
+Layout within the active prefix matches the reference (`:199-205`):
+chunks (2g, 2g+1) = (positives, negatives) of group g; slot j of a chunk
+holds GT j. Images with no GT get the reference's fake box
+[.5,.5,.5,.5] + random label in slot 0, masked out of the loss via
+`pad_mask` (reference `:141-160, 259-266`).
 
 Noise (reference `:193-223`): labels flipped to uniform with prob
 0.5*label_noise_ratio; boxes perturbed in corner coords by
@@ -25,37 +36,50 @@ sign*rand*half_extent*box_noise_scale, rand in [0,1) for positives and
 """
 from __future__ import annotations
 
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from .transformer import inverse_sigmoid
 
 
 class CdnBatch(NamedTuple):
-    query_label: jax.Array   # (B, pad_size, C) content queries
-    query_bbox: jax.Array    # (B, pad_size, 4) unsigmoided positions
-    gt_idx: jax.Array        # (pad_size,) static slot -> gt index
-    is_positive: jax.Array   # (pad_size,) static: True in positive chunks
-    slot_valid: jax.Array    # (B, pad_size) slot has a (real or fake) gt
+    query_label: jax.Array   # (B, capacity, C) content queries
+    query_bbox: jax.Array    # (B, capacity, 4) unsigmoided positions
+    gt_idx: jax.Array        # (capacity,) slot -> gt index (traced)
+    is_positive: jax.Array   # (capacity,) True in ACTIVE positive chunks
+    slot_valid: jax.Array    # (B, capacity) slot holds a (real/fake) gt
     pad_mask: jax.Array      # (B,) True = image had NO real gt (fake dn)
+    slot_active: Optional[jax.Array] = None  # (capacity,) in the dyn layout
+    single_pad: Optional[jax.Array] = None   # () traced single_pad_dyn
+    groups: Optional[jax.Array] = None       # () traced groups_dyn
 
 
-def cdn_attn_mask(single_pad: int, groups: int, num_queries: int):
-    """Static self-attention mask, True = BLOCKED (reference `:246-257`):
-    matching queries cannot see dn; dn group g sees only itself (plus the
-    matching block)."""
-    pad = 2 * single_pad * groups
-    t = pad + num_queries
-    m = np.zeros((t, t), bool)
-    m[pad:, :pad] = True
-    for g in range(groups):
-        s, e = 2 * single_pad * g, 2 * single_pad * (g + 1)
-        m[s:e, :s] = True
-        m[s:e, e:pad] = True
-    return jnp.asarray(m)
+def cdn_attn_mask(single_pad, groups, num_queries: int,
+                  capacity: Optional[int] = None):
+    """Self-attention mask over [dn | matching], True = BLOCKED
+    (reference `:246-257`): matching queries cannot see dn; dn group g
+    sees only itself (plus the matching block).
+
+    `single_pad`/`groups` may be python ints (static layout) or traced
+    scalars (adaptive layout); `capacity` is the static dn slot count and
+    defaults to 2*single_pad*groups (only valid for int args). Inactive
+    slots get unique group ids -> fully isolated from every other dn slot.
+    """
+    if capacity is None:
+        capacity = 2 * int(single_pad) * int(groups)
+    s = jnp.arange(capacity)
+    chunk = s // single_pad
+    active = chunk < 2 * groups
+    group = jnp.where(active, chunk // 2, groups + s)
+    dn_block = group[:, None] != group[None, :]
+    top = jnp.concatenate(
+        [dn_block, jnp.zeros((capacity, num_queries), bool)], axis=1)
+    bottom = jnp.concatenate(
+        [jnp.ones((num_queries, capacity), bool),
+         jnp.zeros((num_queries, num_queries), bool)], axis=1)
+    return jnp.concatenate([top, bottom], axis=0)
 
 
 def build_cdn_queries(rng: jax.Array, gt_boxes: jax.Array,
@@ -65,79 +89,77 @@ def build_cdn_queries(rng: jax.Array, gt_boxes: jax.Array,
                       label_noise_ratio: float = 0.5,
                       box_noise_scale: float = 0.4) -> CdnBatch:
     """Args:
-      gt_boxes: (B, G, 4) normalized cxcywh (G >= single_pad uses first
-        single_pad GTs per image).
+      gt_boxes: (B, G, 4) normalized cxcywh.
       gt_labels: (B, G) int32 in [0, num_classes).
       gt_valid: (B, G) bool.
       label_enc: (dn_labelbook_size+1, C) embedding table.
+      single_pad, groups: STATIC capacity spec — the slot budget is
+        2*single_pad*groups (= the reference's 2*dn_number); the actual
+        partition is computed per batch (module docstring).
     """
-    B = gt_boxes.shape[0]
-    sp = single_pad
-    n_chunks = 2 * groups
-    pad_size = sp * n_chunks
-    # surface the static-layout coupling at build time: callers size the
-    # GT arrays by max_gt (supervised) or max_pseudo (SSOD); fewer slots
-    # than single_pad would crash deep inside jit with a broadcast error,
-    # and more silently drops GTs >= single_pad from DN supervision
-    # (documented deviation from the reference's dynamic batch-max pad).
-    assert gt_boxes.shape[1] >= sp, (
-        f"gt capacity {gt_boxes.shape[1]} < dn_single_pad {sp}: set "
-        f"dn_single_pad <= max_gt / ssod.max_pseudo")
+    B, G = gt_valid.shape
+    capacity = 2 * single_pad * groups
 
     k_fake, k_label, k_newl, k_sign, k_part = jax.random.split(rng, 5)
 
-    boxes = gt_boxes[:, :sp]
-    labels = gt_labels[:, :sp]
-    valid = gt_valid[:, :sp]
-
     # fake gt for images with no gt (reference `:141-160`)
-    no_gt = ~valid.any(axis=1)                                  # (B,)
+    no_gt = ~gt_valid.any(axis=1)                               # (B,)
     fake_label = jax.random.randint(k_fake, (B,), 0, num_classes)
     fake_box = jnp.asarray([0.5, 0.5, 0.5, 0.5])
-    inject = no_gt[:, None] & (jnp.arange(sp) == 0)[None]
-    boxes = jnp.where(inject[..., None], fake_box, boxes)
-    labels = jnp.where(inject, fake_label[:, None], labels)
-    valid = valid | inject
+    inject = no_gt[:, None] & (jnp.arange(G) == 0)[None]
+    boxes = jnp.where(inject[..., None], fake_box, gt_boxes)
+    labels = jnp.where(inject, fake_label[:, None], gt_labels)
+    valid = gt_valid | inject
 
-    # tile to chunks: (B, n_chunks, sp, ...)
-    boxes = jnp.broadcast_to(boxes[:, None], (B, n_chunks, sp, 4))
-    labels = jnp.broadcast_to(labels[:, None], (B, n_chunks, sp))
+    # adaptive partition (reference `:164-180`: single_pad = batch max
+    # known_num, dn groups = budget // (2*single_pad))
+    counts = valid.sum(axis=1)                                  # >= 1
+    sp_dyn = jnp.clip(jnp.max(counts), 1, min(capacity // 2, G))
+    groups_dyn = capacity // (2 * sp_dyn)                       # >= 1
+
+    s = jnp.arange(capacity)
+    chunk = s // sp_dyn
+    gt_idx = s % sp_dyn                                         # (cap,)
+    active = chunk < 2 * groups_dyn
+    is_neg = (chunk % 2 == 1)
+    is_positive = ~is_neg & active
+
+    boxes_s = jnp.take(boxes, gt_idx, axis=1)                   # (B,cap,4)
+    labels_s = jnp.take(labels, gt_idx, axis=1)
+    slot_valid = jnp.take(valid, gt_idx, axis=1) & active[None]
 
     # label noise (same for pos+neg chunks, applied element-wise)
-    p = jax.random.uniform(k_label, labels.shape)
-    new_label = jax.random.randint(k_newl, labels.shape, 0, num_classes)
-    labels = jnp.where(p < label_noise_ratio * 0.5, new_label, labels)
+    p = jax.random.uniform(k_label, (B, capacity))
+    new_label = jax.random.randint(k_newl, (B, capacity), 0, num_classes)
+    labels_s = jnp.where(p < label_noise_ratio * 0.5, new_label, labels_s)
 
     # box noise in corner coordinates (reference `:206-223`)
-    is_neg_np = np.arange(n_chunks) % 2 == 1                    # (n_chunks,)
-    is_neg_chunk = jnp.asarray(is_neg_np)
-    xy, wh = boxes[..., :2], boxes[..., 2:]
+    xy, wh = boxes_s[..., :2], boxes_s[..., 2:]
     corners = jnp.concatenate([xy - wh / 2, xy + wh / 2], -1)
     diff = jnp.concatenate([wh / 2, wh / 2], -1)
-    sign = (jax.random.randint(k_sign, boxes.shape, 0, 2)
+    sign = (jax.random.randint(k_sign, (B, capacity, 4), 0, 2)
             .astype(jnp.float32) * 2.0 - 1.0)
-    part = jax.random.uniform(k_part, boxes.shape)
-    part = part + is_neg_chunk[None, :, None, None].astype(jnp.float32)
+    part = jax.random.uniform(k_part, (B, capacity, 4))
+    part = part + is_neg[None, :, None].astype(jnp.float32)
     noised = jnp.clip(corners + sign * part * diff * box_noise_scale,
                       0.0, 1.0)
     lo, hi = noised[..., :2], noised[..., 2:]
     noised_cxcywh = jnp.concatenate([(lo + hi) / 2, hi - lo], -1)
 
-    content = label_enc[labels]                                 # (B,2G,sp,C)
+    content = label_enc[labels_s]                               # (B,cap,C)
     position = inverse_sigmoid(noised_cxcywh)
 
-    slot_valid = jnp.broadcast_to(valid[:, None], (B, n_chunks, sp))
     content = jnp.where(slot_valid[..., None], content, 0.0)
     position = jnp.where(slot_valid[..., None], position, 0.0)
 
-    gt_idx = np.tile(np.arange(sp), n_chunks)
-    is_positive = np.repeat(~is_neg_np, sp)
-
     return CdnBatch(
-        query_label=content.reshape(B, pad_size, -1),
-        query_bbox=position.reshape(B, pad_size, 4),
-        gt_idx=jnp.asarray(gt_idx, jnp.int32),
-        is_positive=jnp.asarray(is_positive),
-        slot_valid=slot_valid.reshape(B, pad_size),
+        query_label=content,
+        query_bbox=position,
+        gt_idx=gt_idx.astype(jnp.int32),
+        is_positive=is_positive,
+        slot_valid=slot_valid,
         pad_mask=no_gt,
+        slot_active=active,
+        single_pad=sp_dyn,
+        groups=groups_dyn,
     )

@@ -238,28 +238,37 @@ def consistency_positions(boxes_xyxy_abs, img_hw, valid,
     return jnp.tile(pos, (1, cfg.cons_groups, 1))
 
 
-def combined_attn_mask(cons_pad: int, cons_groups: int, dn_single_pad: int,
-                       dn_groups: int, num_queries: int):
-    """Static [consistency | dn | matching] self-attention mask, True =
-    BLOCKED (reference :722-743): each consistency group and each dn
-    pos/neg group sees only itself among the front blocks; matching sees
-    only matching."""
+def combined_attn_mask(cons_pad: int, cons_groups: int, dn_single_pad,
+                       dn_groups, num_queries: int,
+                       dn_capacity: int = None):
+    """[consistency | dn | matching] self-attention mask, True = BLOCKED
+    (reference :722-743): each consistency group and each dn pos/neg
+    group sees only itself among the front blocks; matching sees only
+    matching.
+
+    The consistency block layout is static (cons_pad, cons_groups python
+    ints); the dn block follows the adaptive partition of models/dn.py —
+    `dn_single_pad`/`dn_groups` may be traced scalars, with `dn_capacity`
+    the static dn slot count (defaults to 2*dn_single_pad*dn_groups for
+    int args); inactive dn slots get unique group ids (isolated)."""
+    if dn_capacity is None:
+        dn_capacity = 2 * int(dn_single_pad) * int(dn_groups)
     sp1 = cons_pad // cons_groups
-    pad2 = 2 * dn_single_pad * dn_groups
-    t = cons_pad + pad2 + num_queries
-    m = np.zeros((t, t), bool)
-    front = cons_pad + pad2
-    m[front:, :front] = True
-    for i in range(cons_groups):
-        s, e = sp1 * i, sp1 * (i + 1)
-        m[s:e, :s] = True
-        m[s:e, e:front] = True
-    for g in range(dn_groups):
-        s = cons_pad + 2 * dn_single_pad * g
-        e = cons_pad + 2 * dn_single_pad * (g + 1)
-        m[s:e, :s] = True
-        m[s:e, e:front] = True
-    return jnp.asarray(m)
+    cons_group = jnp.arange(cons_pad) // sp1               # [0, cons_groups)
+    s = jnp.arange(dn_capacity)
+    chunk = s // dn_single_pad
+    active = chunk < 2 * dn_groups
+    dn_group = cons_groups + jnp.where(active, chunk // 2,
+                                       dn_groups + s)
+    front_group = jnp.concatenate([cons_group, dn_group])  # (front,)
+    front = cons_pad + dn_capacity
+    block = front_group[:, None] != front_group[None, :]
+    top = jnp.concatenate(
+        [block, jnp.zeros((front, num_queries), bool)], axis=1)
+    bottom = jnp.concatenate(
+        [jnp.ones((num_queries, front), bool),
+         jnp.zeros((num_queries, num_queries), bool)], axis=1)
+    return jnp.concatenate([top, bottom], axis=0)
 
 
 def consistency_loss(hs_student, hs_teacher, cons_weights, cons_counts,

@@ -107,13 +107,14 @@ def _unsup_forward_and_loss(detector: DINODetector, projector: Projector,
         pos_s = consistency_positions(pl.boxes_s, un["student_hw"],
                                       keep_cons, cfg)
         attn_mask = combined_attn_mask(cfg.cons_pad, cfg.cons_groups,
-                                       c.dn_single_pad, c.dn_groups,
-                                       c.num_queries)
+                                       cdn.single_pad, cdn.groups,
+                                       c.num_queries,
+                                       dn_capacity=c.dn_pad_size)
         extra_tgt = jnp.concatenate([content_tiled, cdn.query_label], 1)
         extra_ref = jnp.concatenate([pos_s, cdn.query_bbox], 1)
     else:
-        attn_mask = cdn_attn_mask(c.dn_single_pad, c.dn_groups,
-                                  c.num_queries)
+        attn_mask = cdn_attn_mask(cdn.single_pad, cdn.groups,
+                                  c.num_queries, capacity=c.dn_pad_size)
         extra_tgt, extra_ref = cdn.query_label, cdn.query_bbox
 
     s_out = detector.apply(student_vars, s_enc, extra_tgt, extra_ref,
@@ -144,12 +145,18 @@ def _unsup_forward_and_loss(detector: DINODetector, projector: Projector,
             c.dn_label_noise_ratio, c.dn_box_noise_scale)
         pos_t = consistency_positions(pl.boxes_t, un["teacher_hw"],
                                       keep_cons, cfg)
+        # cdn2's adaptive partition can differ from cdn's (different
+        # filtered sets), so the teacher pass gets its own mask
+        attn_mask2 = combined_attn_mask(cfg.cons_pad, cfg.cons_groups,
+                                        cdn2.single_pad, cdn2.groups,
+                                        c.num_queries,
+                                        dn_capacity=c.dn_pad_size)
         t_out = detector.apply(
             teacher_vars, t_enc,
             jnp.concatenate([jax.lax.stop_gradient(content_tiled),
                              cdn2.query_label], 1),
             jnp.concatenate([pos_t, cdn2.query_bbox], 1),
-            attn_mask, method=DINODetector.decode_queries)
+            attn_mask2, method=DINODetector.decode_queries)
 
         cons_counts = jnp.maximum(keep_cons.sum(-1), 1)
         out_losses.update(consistency_loss(
@@ -162,6 +169,14 @@ def _unsup_forward_and_loss(detector: DINODetector, projector: Projector,
         "sup_set_per_img": keep_sup.sum() / pl.valid.shape[0],
         "cons_set_per_img": keep_cons.sum() / pl.valid.shape[0],
         "gmm_thr": gmm_thr,
+        # first image's pseudo labels in the student frame, for the
+        # throttled in-training visualization (reference
+        # `log_image_with_boxes`, detr_ssod/utils/logger.py:91-161);
+        # a few KB per step, popped by the trainer before scalar logging
+        "pseudo_vis": {
+            "boxes": pl.boxes_s[0], "labels": pl.labels[0],
+            "scores": pl.scores[0], "keep": keep_sup[0],
+        },
     }
     return out_losses, metrics
 

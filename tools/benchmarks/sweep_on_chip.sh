@@ -2,6 +2,7 @@
 # One-shot on-chip benchmark sweep. Polls until the axon tunnel answers,
 # then runs each benchmark SEQUENTIALLY in its own process (two
 # concurrent axon clients can wedge the relay — see verify SKILL.md).
+# Env A/Bs use `env VAR=...` so nothing leaks between runs.
 # Usage: bash tools/benchmarks/sweep_on_chip.sh [logfile]
 set -u
 cd "$(dirname "$0")/../.."
@@ -29,20 +30,26 @@ run() {
 # 1. kernel microbench (v2 baseline + parity)
 run python tools/benchmarks/attn_kernel_bench.py --iters 5 --skip-xla
 # 2. bwd matmul precision A/B
-SDT_BWD_MM_PRECISION=high run python tools/benchmarks/attn_kernel_bench.py \
-  --iters 5 --skip-xla --skip-parity
+run env SDT_BWD_MM_PRECISION=high python \
+  tools/benchmarks/attn_kernel_bench.py --iters 5 --skip-xla --skip-parity
 # 3. stage attribution (outputs wrong by design; timing only)
-SDT_BWD_SKIP_DLOC=1 run python tools/benchmarks/attn_kernel_bench.py \
-  --iters 5 --skip-xla --skip-parity
-SDT_BWD_SKIP_DV=1 run python tools/benchmarks/attn_kernel_bench.py \
-  --iters 5 --skip-xla --skip-parity
-SDT_FWD_NO_GATHER=1 run python tools/benchmarks/attn_kernel_bench.py \
-  --iters 5 --skip-xla --skip-parity
+run env SDT_BWD_SKIP_DLOC=1 python \
+  tools/benchmarks/attn_kernel_bench.py --iters 5 --skip-xla --skip-parity
+run env SDT_BWD_SKIP_DV=1 python \
+  tools/benchmarks/attn_kernel_bench.py --iters 5 --skip-xla --skip-parity
+run env SDT_FWD_NO_GATHER=1 python \
+  tools/benchmarks/attn_kernel_bench.py --iters 5 --skip-xla --skip-parity
 # 4. packed-bf16 gather A/B (fwd-only experiment)
-SDT_PACKED_GATHER=1 run python tools/benchmarks/attn_kernel_bench.py \
-  --iters 5 --skip-xla --skip-parity --bf16-value
-# 5. flagship supervised train step
+run env SDT_PACKED_GATHER=1 python \
+  tools/benchmarks/attn_kernel_bench.py --iters 5 --skip-xla \
+  --skip-parity --bf16-value
+# 5. in-graph Hungarian attribution (post-warm-up serial suspect)
+run python tools/benchmarks/hungarian_bench.py
+# 6. flagship supervised train step (both stages)
 run python tools/benchmarks/train_step_bench.py --batch 2 --steps 5
-# 5. the driver metric
+# 7. SSOD recipe step (north-star workload), both stages
+run python tools/benchmarks/train_step_bench.py --ssod --steps 5
+run python tools/benchmarks/train_step_bench.py --ssod --post-warmup --steps 5
+# 8. the driver metric
 run python bench.py
 echo "[sweep] done at $(date)" | tee -a "$LOG"
