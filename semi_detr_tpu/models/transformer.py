@@ -177,7 +177,13 @@ class MSDeformAttention(nn.Module):
 
 class EncoderLayer(nn.Module):
     """Deformable self-attention + FFN (reference
-    `DINOTransformerEncoderLayer`, transformer.py:579-643)."""
+    `DINOTransformerEncoderLayer`, transformer.py:579-643).
+
+    Returns `(out, None)` — the nn.scan body contract: the 6 identical
+    layers are compiled ONCE and iterated with stacked (L, ...) params
+    (a ~L-fold cut of the dominant compile chunk; XLA can't pipeline
+    across sequential layers anyway, so steady-state perf is unchanged).
+    """
     d_model: int = 256
     d_ffn: int = 2048
     n_heads: int = 8
@@ -198,7 +204,9 @@ class EncoderLayer(nn.Module):
                      dtype=self.dtype, name="linear1")(src)
         f = nn.Dense(self.d_model, kernel_init=xavier_uniform,
                      dtype=self.dtype, name="linear2")(nn.relu(f))
-        return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(src + f)
+        out = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
+                           name="norm2")(src + f)
+        return out, None
 
 
 def encoder_reference_points(spatial_shapes, valid_ratios):
@@ -328,11 +336,18 @@ class DINOTransformer(nn.Module):
         dec_cls = (nn.remat(DecoderLayer, static_argnums=(5,),
                             policy=msda_policy)
                    if self.remat else DecoderLayer)
-        self.encoder_layers = [
-            enc_cls(self.d_model, self.d_ffn, self.n_heads,
-                    self.n_levels, self.enc_n_points, dtype=self.dtype,
-                    name=f"enc_{i}")
-            for i in range(self.num_encoder_layers)]
+        # identical encoder layers ride ONE compiled body via nn.scan
+        # (params get a leading (n_layers,) axis under "enc"); the decoder
+        # stays an unrolled loop — its per-layer box refinement threads
+        # through the head-owned fc_reg, which a scanned body can't share
+        scan_enc = nn.scan(
+            enc_cls, variable_axes={"params": 0},
+            split_rngs={"params": True},
+            in_axes=(nn.broadcast,) * 4,
+            length=self.num_encoder_layers)
+        self.encoder = scan_enc(self.d_model, self.d_ffn, self.n_heads,
+                                self.n_levels, self.enc_n_points,
+                                dtype=self.dtype, name="enc")
         self.decoder_layers = [
             dec_cls(self.d_model, self.d_ffn, self.n_heads,
                     self.n_levels, self.dec_n_points, dtype=self.dtype,
@@ -376,12 +391,10 @@ class DINOTransformer(nn.Module):
                         m[:, :, 0].sum(1) / m.shape[1]], -1)
              for m in valid_masks], 1).astype(jnp.float32)  # (B, L, 2) w,h
 
-        # ---------------- encoder
+        # ---------------- encoder (scanned: one compiled layer body)
         enc_ref = encoder_reference_points(spatial_shapes, vr)
-        memory = src_flat
-        for layer in self.encoder_layers:
-            memory = layer(memory, pos_flat, enc_ref, spatial_shapes,
-                           pad_mask)
+        memory, _ = self.encoder(src_flat, pos_flat, enc_ref,
+                                 spatial_shapes, pad_mask)
 
         # ---------------- two-stage selection
         proposals = make_proposals(spatial_shapes, vr)  # (B, S, 4)

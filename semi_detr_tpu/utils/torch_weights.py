@@ -154,6 +154,13 @@ def _mha(sd, prefix: str, n_heads: int) -> Dict[str, Dict]:
     return out
 
 
+def _tree_stack(dicts):
+    """Stack a list of identical nested dicts along a new leading axis."""
+    if not isinstance(dicts[0], dict):
+        return np.stack([np.asarray(d) for d in dicts])
+    return {k: _tree_stack([d[k] for d in dicts]) for k in dicts[0]}
+
+
 def _count_layers(sd, pattern: str) -> int:
     n = 0
     while f"{pattern.format(n)}" in sd:
@@ -203,15 +210,18 @@ def convert_dino_detector(state_dict: Dict[str, Any],
         "ref_point_head": _mlp(sd, f"{t}.decoder.ref_point_head", 2),
     }
     n_enc = _count_layers(sd, t + ".encoder.layers.{}.norm1.weight")
+    enc_layers = []
     for i in range(n_enc):
         p = f"{t}.encoder.layers.{i}"
-        tr[f"enc_{i}"] = {
+        enc_layers.append({
             "self_attn": _msda(sd, f"{p}.self_attn"),
             "norm1": _norm(sd, f"{p}.norm1"),
             "norm2": _norm(sd, f"{p}.norm2"),
             "linear1": _lin(sd, f"{p}.linear1"),
             "linear2": _lin(sd, f"{p}.linear2"),
-        }
+        })
+    # the flax encoder is nn.scan'ed: leaves carry a leading layer axis
+    tr["enc"] = _tree_stack(enc_layers)
     n_dec = _count_layers(sd, t + ".decoder.layers.{}.norm1.weight")
     for i in range(n_dec):
         p = f"{t}.decoder.layers.{i}"
@@ -400,15 +410,22 @@ def export_dino_detector(variables: Dict[str, Any],
                   "output_proj"):
             put(f"{name}.{k}", _inv_lin(node[k]))
 
-    i = 0
-    while f"enc_{i}" in tr:
-        lp, node = f"{t}.encoder.layers.{i}", tr[f"enc_{i}"]
+    # scanned encoder: leaves have a leading layer axis — unstack per layer
+    enc = tr["enc"]
+    n_enc = np.asarray(enc["norm1"]["scale"]).shape[0]
+
+    def _slice(d, i):
+        if not isinstance(d, dict):
+            return np.asarray(d)[i]
+        return {k: _slice(v, i) for k, v in d.items()}
+
+    for i in range(n_enc):
+        lp, node = f"{t}.encoder.layers.{i}", _slice(enc, i)
         put_msda(f"{lp}.self_attn", node["self_attn"])
         put_norm(f"{lp}.norm1", node["norm1"])
         put_norm(f"{lp}.norm2", node["norm2"])
         put(f"{lp}.linear1", _inv_lin(node["linear1"]))
         put(f"{lp}.linear2", _inv_lin(node["linear2"]))
-        i += 1
     i = 0
     while f"dec_{i}" in tr:
         lp, node = f"{t}.decoder.layers.{i}", tr[f"dec_{i}"]

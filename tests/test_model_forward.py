@@ -114,11 +114,14 @@ def test_bf16_dtype_propagates_through_transformer():
                          capture_intermediates=lambda mdl, name: True,
                          mutable=["intermediates"])
     flat = jax.tree_util.tree_flatten_with_path(inter["intermediates"])[0]
+    # the encoder output ('memory' of the encode_images dict) carries the
+    # transformer compute dtype (the scanned encoder's internals are not
+    # individually captured through the lifted transform)
     enc_dtypes = [leaf.dtype for path, leaf in flat
-                  if any(getattr(k, "key", "") == "enc_0" for k in path)
+                  if any(getattr(k, "key", "") == "memory" for k in path)
                   and hasattr(leaf, "dtype")]
-    assert enc_dtypes, "no encoder intermediates captured"
-    assert any(d == jnp.bfloat16 for d in enc_dtypes), enc_dtypes
+    assert enc_dtypes, "no encoder memory intermediate captured"
+    assert all(d == jnp.bfloat16 for d in enc_dtypes), enc_dtypes
     # loss-facing outputs stay f32
     assert out["cls"].dtype == jnp.float32
     assert out["coord"].dtype == jnp.float32

@@ -50,6 +50,10 @@ run python tools/benchmarks/train_step_bench.py --batch 2 --steps 5
 # 7. SSOD recipe step (north-star workload), both stages
 run python tools/benchmarks/train_step_bench.py --ssod --steps 5
 run python tools/benchmarks/train_step_bench.py --ssod --post-warmup --steps 5
-# 8. the driver metric
+# 8. donation A/B (HBM reuse; retests the round-1 axon donation bug)
+run python tools/benchmarks/train_step_bench.py --batch 2 --steps 5 --donate
+# 9. larger per-chip batch (if 8 fits with donation, north-star lever)
+run python tools/benchmarks/train_step_bench.py --batch 4 --steps 5 --donate
+# 10. the driver metric
 run python bench.py
 echo "[sweep] done at $(date)" | tee -a "$LOG"

@@ -23,6 +23,9 @@ def main():
     p.add_argument("--height", type=int, default=800)
     p.add_argument("--width", type=int, default=1344)
     p.add_argument("--no-remat", action="store_true")
+    p.add_argument("--donate", action="store_true",
+                   help="donate the train state (buffer reuse A/B; was "
+                        "disabled for an axon-tunnel bug, ROADMAP P2)")
     p.add_argument("--ssod", action="store_true",
                    help="benchmark the full SSOD recipe step "
                         "(1 sup + 4 unsup, two views, warm-up stage)")
@@ -67,7 +70,8 @@ def main():
 
     tx = optim.make_optimizer(variables["params"])
     state = TrainState.create(variables, tx, with_teacher=False)
-    step = make_supervised_train_step(model, tx, warm_up=False)
+    step = make_supervised_train_step(model, tx, warm_up=False,
+                                  donate=args.donate)
 
     t0 = time.time()
     state, metrics = step(state, batch, rng)
@@ -125,7 +129,8 @@ def ssod_bench(args):
 
     warm_up = not args.post_warmup
     step = make_ssod_train_step(detector, projector, tx, cfg,
-                                warm_up=warm_up)
+                                warm_up=warm_up,
+                                donate=args.donate)
     t0 = time.time()
     state, metrics = step(state, batch, rng)
     total = float(metrics["total_loss"])
