@@ -57,16 +57,16 @@ def one_to_one_targets(cls_logits, bbox_pred, gt_boxes, gt_labels, gt_valid,
     c_giou = losses.giou_cost(pred_xyxy, gt_xyxy)
     cost = (cls_w * c_cls + l1_w * c_l1 + giou_w * c_giou).T     # (G, Nq)
     cols = hungarian.solve(cost, gt_valid)                       # (G,)
+    # invalid rows return -1: route them to the (out-of-bounds) column nq
+    # and scatter with mode='drop' so they write nothing
+    cols = jnp.where(gt_valid, cols, nq)
 
     labels = jnp.full((nq,), num_classes, jnp.int32)
-    labels = labels.at[cols].set(
-        jnp.where(gt_valid, gt_labels, num_classes))
+    labels = labels.at[cols].set(gt_labels, mode="drop")
     bbox_targets = jnp.zeros((nq, 4), bbox_pred.dtype)
-    bbox_targets = bbox_targets.at[cols].set(
-        jnp.where(gt_valid[:, None], gt_boxes, 0.0))
+    bbox_targets = bbox_targets.at[cols].set(gt_boxes, mode="drop")
     bbox_weights = jnp.zeros((nq, 4), bbox_pred.dtype)
-    bbox_weights = bbox_weights.at[cols].set(
-        jnp.where(gt_valid[:, None], 1.0, 0.0))
+    bbox_weights = bbox_weights.at[cols].set(1.0, mode="drop")
     num_pos = gt_valid.sum().astype(jnp.float32)
     return Targets(labels, jnp.ones((nq,)), bbox_targets, bbox_weights,
                    jnp.zeros((nq,)), num_pos)

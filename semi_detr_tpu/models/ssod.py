@@ -207,6 +207,7 @@ def pseudo_matching_costs(cls_logits, bbox_preds, pl_boxes_norm, pl_labels,
                                   box_ops.cxcywh_to_xyxy(gt_boxes))
         cost = 2.0 * c_cls + 5.0 * c_l1 + 2.0 * c_giou          # (nq, P)
         cols = hungarian.solve(cost.T, gt_valid)                # (P,)
+        cols = jnp.where(gt_valid, cols, 0)     # invalid rows return -1
         return cost.T[jnp.arange(gt_boxes.shape[0]), cols]
 
     costs = jax.vmap(per_image)(

@@ -66,12 +66,16 @@ def solve(cost: jax.Array, row_valid: jax.Array | None = None):
 
     Args:
       cost: (NR, NC) float32 cost matrix.
-      row_valid: optional (NR,) bool; invalid rows are replaced by a constant
-        row so they can't perturb the valid rows' optimum.
+      row_valid: optional (NR,) bool; invalid rows are SKIPPED — the
+        sequential augmenting-path loop runs only over valid rows (sorted
+        to the front, traced loop bound), so padded problems cost
+        O(n_valid) serial steps instead of O(NR). With COCO's typical ~7
+        GTs in a 100-slot pad that is a ~14x cut of the solver's serial
+        depth (the train step runs it per image x 7 loss heads).
 
     Returns:
-      col4row: (NR,) int32 — assigned column per row (valid for all rows;
-        mask with row_valid yourself).
+      col4row: (NR,) int32 — assigned column per row; -1 for invalid rows
+      (callers must mask/drop: the value is NOT a usable column).
     """
     nr, nc = cost.shape
     assert nr <= nc, "pad GTs along rows; queries along columns"
@@ -83,7 +87,12 @@ def solve(cost: jax.Array, row_valid: jax.Array | None = None):
     # terminates, and the NaN still surfaces in the loss itself.
     cost = jnp.where(jnp.isfinite(cost), cost, 1e9)
     if row_valid is not None:
-        cost = jnp.where(row_valid[:, None], cost, 0.0)
+        # valid rows first (stable), loop only over them
+        order = jnp.argsort(~row_valid, stable=True)
+        cost = jnp.take(cost, order, axis=0)
+        n_rows = row_valid.sum().astype(jnp.int32)
+    else:
+        n_rows = nr
 
     def per_row(cur_row, state):
         u, v, col4row, row4col = state
@@ -116,6 +125,11 @@ def solve(cost: jax.Array, row_valid: jax.Array | None = None):
     v = jnp.zeros((nc,), jnp.float32)
     col4row = jnp.full((nr,), -1, jnp.int32)
     row4col = jnp.full((nc,), -1, jnp.int32)
+    # traced upper bound (lowers to while_loop): only valid rows augment
     _, _, col4row, _ = jax.lax.fori_loop(
-        0, nr, per_row, (u, v, col4row, row4col))
+        0, n_rows, per_row, (u, v, col4row, row4col))
+    if row_valid is not None:
+        # undo the sort; skipped rows keep -1
+        inv = jnp.argsort(order)
+        col4row = jnp.take(col4row, inv, axis=0)
     return col4row

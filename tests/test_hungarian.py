@@ -34,19 +34,24 @@ def test_ties_and_integers():
     assert _total(cost, cols) == 0.0
 
 
-def test_invalid_rows_do_not_perturb():
+def test_invalid_rows_skipped_exactly():
+    """Invalid rows are SKIPPED (traced loop bound): the valid rows get
+    the scipy-optimal assignment; skipped rows return -1. The mask
+    pattern need not be a prefix (SSOD pseudo-label filtering isn't)."""
     rng = np.random.RandomState(7)
-    nr, nc, valid_n = 16, 40, 5
+    nr, nc = 16, 40
     cost = rng.randn(nr, nc).astype(np.float32)
     valid = np.zeros(nr, bool)
-    valid[:valid_n] = True
+    valid[[0, 3, 4, 9, 15]] = True
     cols = np.asarray(hungarian.solve(
         jnp.asarray(cost), jnp.asarray(valid)))
-    r, c = linear_sum_assignment(cost[:valid_n])
+    r, c = linear_sum_assignment(cost[valid])
     np.testing.assert_allclose(_total(cost, cols, valid),
-                               cost[:valid_n][r, c].sum(), rtol=1e-5,
+                               cost[valid][r, c].sum(), rtol=1e-5,
                                atol=1e-4)
-    assert len(set(cols.tolist())) == nr
+    vcols = cols[valid].tolist()
+    assert len(set(vcols)) == len(vcols), "valid assignment injective"
+    assert (cols[~valid] == -1).all()
 
 
 def test_vmapped_batch():

@@ -199,3 +199,24 @@ def test_nms_pre_topk_cap_quantified():
         assert int(np.asarray(capped["labels"])[k]) == cls
         np.testing.assert_allclose(np.asarray(capped["scores"])[k], s,
                                    rtol=1e-5)
+
+
+def test_nms_deep_suppression_chain_exact():
+    """Adversarial case for the fixpoint formulation (ops/nms.py): a
+    ladder of boxes where each suppresses the next — odd-ranked boxes
+    get suppressed, even-ranked ones are REVIVED (suppressed only by an
+    already-suppressed box). A one-sweep approximation would drop them;
+    exact greedy keeps every even rank."""
+    n = 40
+    # each box overlaps ONLY its neighbors by >0.6 IoU (width 10, step 3)
+    x0 = np.arange(n, dtype=np.float32) * 3.0
+    boxes = np.stack([x0, np.zeros(n, np.float32),
+                      x0 + 10.0, np.full(n, 10.0, np.float32)], -1)
+    scores = np.linspace(0.9, 0.5, n, dtype=np.float32)[:, None]  # 1 class
+    out = multiclass_nms(jnp.asarray(boxes), jnp.asarray(scores),
+                         score_thr=0.01, iou_thr=0.5, max_out=n,
+                         pre_topk=n)
+    kept_idx = np.sort(np.asarray(
+        [b[0] / 3 for b, v in zip(np.asarray(out["boxes"]),
+                                  np.asarray(out["valid"])) if v]))
+    np.testing.assert_array_equal(kept_idx, np.arange(0, n, 2))

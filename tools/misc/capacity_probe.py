@@ -1,0 +1,134 @@
+"""Quantify the static-capacity knobs against a dataset (+ checkpoint).
+
+The TPU-native design bounds several quantities the reference leaves
+dynamic (VERDICT r2 missing #4 / weak #4); this tool measures how often
+each bound binds so the caps can be tuned per recipe:
+
+1. GT packing: fraction of images/GTs beyond `max_gt` (pack() keeps the
+   first max_gt) and beyond the DN budget capacity//2 (models/dn.py —
+   since round 3 every GT below that gets DN supervision).
+2. Pseudo path (needs --ckpt): per-image NMS survivor counts, survivors
+   after the mean+std filter vs `ssod.max_pseudo`, and the recall of
+   `nms_pre_topk`-capped NMS vs an exact (uncapped) pass — the reference
+   processes every score>0.01 candidate (dino_detr_ssod_head.py:
+   1368-1399); ours keeps the top pre_topk of the flattened score
+   matrix (ops/nms.py).
+
+Usage:
+  python tools/misc/capacity_probe.py --ann data/coco/annotations/xxx.json
+      [--max-gt 100] [--dn-budget 200]
+      [--ckpt work_dir/ckpt --config configs/... --images <prefix>
+       --num-images 50 --max-pseudo 32 --pre-topk 2000]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
+
+import numpy as np
+
+
+def gt_stats(ann_path: str, max_gt: int, dn_budget: int):
+    with open(ann_path) as f:
+        coco = json.load(f)
+    counts: dict = {}
+    for a in coco.get("annotations", []):
+        if a.get("iscrowd", 0):
+            continue
+        counts[a["image_id"]] = counts.get(a["image_id"], 0) + 1
+    n_img = len(coco.get("images", []))
+    c = np.zeros(n_img, np.int64)
+    c[:len(counts)] = sorted(counts.values(), reverse=True)
+    total_gt = int(c.sum())
+    dn_cap = dn_budget // 2
+    print(f"images: {n_img}, annotated: {len(counts)}, GTs: {total_gt}")
+    print(f"GT/image: mean {c.mean():.2f}, p50 {np.percentile(c, 50):.0f}, "
+          f"p99 {np.percentile(c, 99):.0f}, max {c.max()}")
+    for cap, name in ((max_gt, f"max_gt={max_gt}"),
+                      (dn_cap, f"dn capacity//2={dn_cap}")):
+        over_img = int((c > cap).sum())
+        over_pct = over_img / max(n_img, 1)
+        lost = int(np.maximum(c - cap, 0).sum())
+        print(f"{name}: {over_img} images over ({over_pct:.4%}), "
+              f"{lost} GTs clipped ({lost / max(total_gt, 1):.4%})")
+
+
+def pseudo_stats(args):
+    import jax
+    import jax.numpy as jnp
+
+    from semi_detr_tpu.api import init_detector
+    from semi_detr_tpu.data.coco import CocoDataset
+    from semi_detr_tpu.ops.nms import multiclass_nms
+
+    from semi_detr_tpu.utils.config import parse_cfg_options
+
+    ds = CocoDataset(args.ann, args.images, test_mode=True,
+                     filter_empty_gt=False)
+    pred = init_detector(args.config, args.ckpt,
+                         parse_cfg_options(args.cfg_options))
+    model, variables = pred.detector, pred.variables
+
+    from semi_detr_tpu.data.pipeline import make_test_batch
+    n = min(args.num_images, len(ds))
+    nms_counts, filt_counts, recall_hits, recall_tot = [], [], 0, 0
+    for i in range(n):
+        batch = make_test_batch(ds, [i], bucket=(800, 1344))
+        out = model.apply(variables, jnp.asarray(batch["images"]),
+                          jnp.asarray(batch["img_hw"]))
+        logits, coords = out["cls"][-1][0], out["coord"][-1][0]
+        scores = jax.nn.sigmoid(logits)
+        from semi_detr_tpu.core import boxes as box_ops
+        boxes = jnp.clip(box_ops.cxcywh_to_xyxy(coords), 0.0, 1.0)
+        exact = multiclass_nms(boxes, scores, 0.01, 0.6, 300,
+                               pre_topk=int(scores.size))
+        capped = multiclass_nms(boxes, scores, 0.01, 0.6, 300,
+                                pre_topk=args.pre_topk)
+        ne = int(np.asarray(exact["valid"]).sum())
+        nc_ = int(np.asarray(capped["valid"]).sum())
+        recall_hits += nc_
+        recall_tot += ne
+        nms_counts.append(ne)
+        # mean+std filter (extract_teacher_info, dino_detr_ssod.py:918-927)
+        s = np.asarray(exact["scores"])[np.asarray(exact["valid"])]
+        if len(s):
+            thr = s.mean() + s.std()
+            filt_counts.append(int((s >= thr).sum()))
+    nms_counts = np.asarray(nms_counts)
+    filt_counts = np.asarray(filt_counts or [0])
+    print(f"NMS survivors/image: mean {nms_counts.mean():.1f}, "
+          f"p99 {np.percentile(nms_counts, 99):.0f}, max {nms_counts.max()}"
+          f" (reference cap 300)")
+    print(f"pre_topk={args.pre_topk} recall vs exact: "
+          f"{recall_hits}/{recall_tot} = "
+          f"{recall_hits / max(recall_tot, 1):.4%}")
+    print(f"post mean+std filter/image: mean {filt_counts.mean():.1f}, "
+          f"max {filt_counts.max()} (max_pseudo={args.max_pseudo}: "
+          f"{(filt_counts > args.max_pseudo).mean():.4%} of images clipped)")
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--ann", required=True)
+    p.add_argument("--max-gt", type=int, default=100)
+    p.add_argument("--dn-budget", type=int, default=200)
+    p.add_argument("--ckpt")
+    p.add_argument("--config")
+    p.add_argument("--cfg-options", nargs="+", default=[])
+    p.add_argument("--images")
+    p.add_argument("--num-images", type=int, default=50)
+    p.add_argument("--max-pseudo", type=int, default=32)
+    p.add_argument("--pre-topk", type=int, default=2000)
+    args = p.parse_args()
+
+    gt_stats(args.ann, args.max_gt, args.dn_budget)
+    if args.ckpt:
+        pseudo_stats(args)
+
+
+if __name__ == "__main__":
+    main()
