@@ -147,3 +147,74 @@ def test_combined_attn_mask_adaptive_dn_block():
     assert not m[6:10, 6:10].any() and m[6:10, 10:14].all()
     # matching blocked from the whole front, front sees matching
     assert m[front:, :front].all() and not m[:front, front:].any()
+
+
+def test_dn_layer_loss_targets_adaptive_layout():
+    """_dn_layer_loss x adaptive CdnBatch: positives reconstruct their GT,
+    negatives are background-supervised, inactive slots and no-GT images
+    carry zero weight (reference _get_target_single_dn,
+    dino_detr_ssod_head.py:885-957)."""
+    from semi_detr_tpu.models.criterion import _dn_layer_loss
+
+    B, G, K = 2, 4, 3
+    rs = np.random.RandomState(0)
+    gt = {"boxes": jnp.asarray(rs.rand(B, G, 4) * 0.3 + 0.3,
+                               jnp.float32),
+          "labels": jnp.asarray(rs.randint(0, K, (B, G)), jnp.int32),
+          # image 0: 2 GTs; image 1: none
+          "valid": jnp.asarray([[True, True, False, False],
+                                [False, False, False, False]])}
+    label_enc = jnp.asarray(rs.randn(K + 2, 8), jnp.float32)
+    cdn = build_cdn_queries(jax.random.PRNGKey(0), gt["boxes"],
+                            gt["labels"], gt["valid"], label_enc, K,
+                            single_pad=4, groups=2)     # capacity 16
+    # batch max = 2 -> sp_dyn 2, groups_dyn 4, all 16 slots active
+    assert int(cdn.single_pad) == 2 and int(cdn.groups) == 4
+    pad = cdn.gt_idx.shape[0]
+    cls = jnp.asarray(rs.randn(B, pad, K), jnp.float32)
+    coord = jnp.asarray(rs.rand(B, pad, 4) * 0.5 + 0.25, jnp.float32)
+    out = _dn_layer_loss(cls, coord, gt, cdn, K, None, "")
+    for k, v in out.items():
+        assert np.isfinite(float(v)), k
+    assert float(out["dn_loss_cls"]) > 0
+
+    # zero out image 0's GTs too -> only fake dn remains -> no dn loss
+    gt0 = dict(gt, valid=jnp.zeros((B, G), bool))
+    cdn0 = build_cdn_queries(jax.random.PRNGKey(0), gt0["boxes"],
+                             gt0["labels"], gt0["valid"], label_enc, K,
+                             single_pad=4, groups=2)
+    assert bool(cdn0.pad_mask.all())
+    out0 = _dn_layer_loss(cls, coord, gt0, cdn0, K, None, "")
+    assert float(out0["dn_loss_cls"]) == 0.0
+    assert float(out0["dn_loss_bbox"]) == 0.0
+
+
+def test_dn_inactive_slots_zero_weight():
+    """A 3-GT batch in a 16-slot budget leaves 16 - 2*3*2 = 4 inactive
+    slots; their loss weight must be exactly zero."""
+    from semi_detr_tpu.models.criterion import _dn_layer_loss
+
+    B, G, K = 1, 8, 2
+    rs = np.random.RandomState(1)
+    gt = {"boxes": jnp.asarray(rs.rand(B, G, 4) * 0.3 + 0.3, jnp.float32),
+          "labels": jnp.zeros((B, G), jnp.int32),
+          "valid": jnp.asarray([[True] * 3 + [False] * 5])}
+    label_enc = jnp.asarray(rs.randn(K + 2, 8), jnp.float32)
+    cdn = build_cdn_queries(jax.random.PRNGKey(1), gt["boxes"],
+                            gt["labels"], gt["valid"], label_enc, K,
+                            single_pad=4, groups=2)
+    assert int(cdn.single_pad) == 3 and int(cdn.groups) == 2
+    assert int(cdn.slot_active.sum()) == 12
+    pad = cdn.gt_idx.shape[0]
+    # two loss evaluations differing ONLY in the inactive slots' preds
+    cls_a = jnp.asarray(rs.randn(B, pad, K), jnp.float32)
+    coord_a = jnp.asarray(rs.rand(B, pad, 4) * 0.5 + 0.25, jnp.float32)
+    bump = (~np.asarray(cdn.slot_active))[None, :, None]
+    cls_b = cls_a + jnp.asarray(bump * 5.0, jnp.float32)
+    coord_b = jnp.clip(coord_a + jnp.asarray(bump * 0.2, jnp.float32),
+                       0, 1)
+    out_a = _dn_layer_loss(cls_a, coord_a, gt, cdn, K, None, "")
+    out_b = _dn_layer_loss(cls_b, coord_b, gt, cdn, K, None, "")
+    for k in out_a:
+        np.testing.assert_allclose(float(out_a[k]), float(out_b[k]),
+                                   rtol=1e-6, err_msg=k)
