@@ -261,3 +261,27 @@ def test_log_image_with_boxes(tmp_path):
     # far from any kept drawing) stays near the gray background
     assert (rendered[10:35, 5, 1] > 200).mean() > 0.8
     assert np.abs(rendered[15:49, 69].astype(int) - 128).max() < 30
+
+
+def test_synthetic_ssod_batch_matches_step_layout():
+    """bench.py feeds synthetic_ssod_batch straight into
+    make_ssod_train_step — the tree layout must match the train loop's
+    batch contract (train/ssod.py:make_ssod_train_step docstring)."""
+    from semi_detr_tpu.data.synthetic import synthetic_ssod_batch
+
+    b = synthetic_ssod_batch(2, 3, 64, 96, max_gt=8)
+    assert b["sup"]["images"].shape == (2, 64, 96, 3)
+    assert b["sup"]["img_hw"].shape == (2, 2)
+    assert (b["sup"]["img_hw"] == [64, 96]).all()
+    gt = b["sup"]["gt"]
+    assert gt["boxes"].shape == (2, 8, 4) and gt["boxes"].dtype == np.float32
+    assert gt["labels"].shape == (2, 8) and gt["labels"].dtype == np.int32
+    assert gt["valid"].shape == (2, 8) and gt["valid"].dtype == bool
+    assert gt["valid"].sum() == 2 * 8  # gt_per_image default fills all 8
+    for side in ("student", "teacher"):
+        assert b["unsup"][f"{side}_images"].shape == (3, 64, 96, 3)
+        assert b["unsup"][f"{side}_hw"].shape == (3, 2)
+        assert b["unsup"][f"{side}_tmat"].shape == (3, 3, 3)
+        np.testing.assert_array_equal(
+            b["unsup"][f"{side}_tmat"][0], np.eye(3))
+    assert (0 < gt["boxes"]).all() and (gt["boxes"] < 1).all()
