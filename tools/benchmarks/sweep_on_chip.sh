@@ -54,6 +54,10 @@ run python tools/benchmarks/train_step_bench.py --ssod --post-warmup --steps 5
 run python tools/benchmarks/train_step_bench.py --batch 2 --steps 5 --donate
 # 9. larger per-chip batch (if 8 fits with donation, north-star lever)
 run python tools/benchmarks/train_step_bench.py --batch 4 --steps 5 --donate
-# 10. the driver metric
+# 10. profiler trace of the SSOD recipe step (stage attribution:
+#     encoder/decoder/NMS/Hungarian/optimizer shares)
+run python tools/benchmarks/train_step_bench.py --ssod --steps 3 \
+  --profile /tmp/ssod_trace
+# 11. the driver metric
 run python bench.py
 echo "[sweep] done at $(date)" | tee -a "$LOG"

@@ -23,6 +23,8 @@ def main():
     p.add_argument("--height", type=int, default=800)
     p.add_argument("--width", type=int, default=1344)
     p.add_argument("--no-remat", action="store_true")
+    p.add_argument("--profile", metavar="DIR", default=None,
+                   help="capture a jax.profiler trace of the timed steps")
     p.add_argument("--donate", action="store_true",
                    help="donate the train state (buffer reuse A/B; was "
                         "disabled for an axon-tunnel bug, ROADMAP P2)")
@@ -79,12 +81,17 @@ def main():
     print(f"first step (compile): {time.time() - t0:.1f}s, "
           f"loss {total:.3f}")
 
+    if args.profile:
+        jax.profiler.start_trace(args.profile)
     ts = []
     for _ in range(args.steps):
         t0 = time.time()
         state, metrics = step(state, batch, rng)
         _ = float(metrics["total_loss"])
         ts.append(time.time() - t0)
+    if args.profile:
+        jax.profiler.stop_trace()
+        print(f"trace written to {args.profile}")
     med = sorted(ts)[len(ts) // 2]
     print(f"steady-state: {med * 1000:.0f} ms/step "
           f"-> {b / med:.2f} img/s/chip (bs{b}, {h}x{w})")
@@ -137,12 +144,17 @@ def ssod_bench(args):
     print(f"first step (compile, warm_up={warm_up}): "
           f"{time.time() - t0:.1f}s, loss {total:.3f}")
 
+    if args.profile:
+        jax.profiler.start_trace(args.profile)
     ts = []
     for _ in range(args.steps):
         t0 = time.time()
         state, metrics = step(state, batch, rng)
         _ = float(metrics["total_loss"])
         ts.append(time.time() - t0)
+    if args.profile:
+        jax.profiler.stop_trace()
+        print(f"trace written to {args.profile}")
     med = sorted(ts)[len(ts) // 2]
     n_img = n_sup + n_unsup
     print(f"steady-state: {med * 1000:.0f} ms/step -> "
