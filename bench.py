@@ -61,43 +61,13 @@ def _probe_devices(timeout_s: int = 120):
 
 
 def _bench_ssod_tpu():
-    """Flagship SSOD recipe step on the chip."""
-    import optax
-
-    from semi_detr_tpu.data.synthetic import synthetic_ssod_batch
-    from semi_detr_tpu.models.dino_head import DinoConfig, DINODetector
-    from semi_detr_tpu.models.ssod import Projector, SsodConfig
-    from semi_detr_tpu.train import optim
-    from semi_detr_tpu.train.ssod import (init_ssod_state,
-                                          make_ssod_train_step)
+    """Flagship SSOD recipe step on the chip (shared harness — the same
+    setup+timing path as `train_step_bench.py --ssod`)."""
+    from semi_detr_tpu.train.bench import build_ssod_step, timed_steps
 
     n_sup, n_unsup, h, w = 1, 4, 800, 1344
-    cfg = SsodConfig(dino=DinoConfig(dtype=jnp.bfloat16, remat=True))
-    detector, projector = DINODetector(cfg.dino), Projector(cfg.dino.d_model)
-
-    rng = jax.random.PRNGKey(0)
-    batch = jax.tree.map(jnp.asarray,
-                         synthetic_ssod_batch(n_sup, n_unsup, h, w,
-                                              cfg.dino.max_gt))
-    state = init_ssod_state(detector, projector, optax.identity(), cfg, rng,
-                            batch["sup"]["images"][:1],
-                            batch["sup"]["img_hw"][:1])
-    tx = optim.make_optimizer(state.params)
-    state = state.replace(opt_state=tx.init(state.params))
-    step = make_ssod_train_step(detector, projector, tx, cfg, warm_up=True)
-
-    # compile + warm-up (force host sync: axon's block_until_ready may
-    # not actually block)
-    state, metrics = step(state, batch, rng)
-    _ = float(metrics["total_loss"])
-
-    ts = []
-    for _ in range(5):
-        t0 = time.perf_counter()
-        state, metrics = step(state, batch, rng)
-        _ = float(metrics["total_loss"])
-        ts.append(time.perf_counter() - t0)
-    med = sorted(ts)[len(ts) // 2]
+    step, state, batch, rng = build_ssod_step(n_sup, n_unsup, h, w)
+    med, _, _, _ = timed_steps(step, state, batch, rng, iters=5)
     ips = (n_sup + n_unsup) / med
     return {
         "metric": "train_images_per_sec_chip",

@@ -56,6 +56,34 @@ class CdnBatch(NamedTuple):
     groups: Optional[jax.Array] = None       # () traced groups_dyn
 
 
+def dn_slot_groups(single_pad, groups, capacity: int):
+    """Slot -> dn group id under the adaptive partition (the single
+    source of truth — `combined_attn_mask` reuses it so the SSOD warm-up
+    mask can never disagree with the supervised/dn mask).
+
+    `single_pad`/`groups` may be python ints or traced scalars. Active
+    slots (chunk < 2*groups) map pos/neg chunk pairs to group chunk//2;
+    inactive slots get UNIQUE ids >= groups (fully isolated)."""
+    s = jnp.arange(capacity)
+    chunk = s // single_pad
+    active = chunk < 2 * groups
+    return jnp.where(active, chunk // 2, groups + s)
+
+
+def front_attn_mask(front_group: jax.Array, num_queries: int):
+    """Assemble the [front | matching] self-attn mask, True = BLOCKED:
+    front slot i may see front slot j iff group[i] == group[j]; matching
+    sees only matching; front additionally sees all of matching."""
+    front = front_group.shape[0]
+    block = front_group[:, None] != front_group[None, :]
+    top = jnp.concatenate(
+        [block, jnp.zeros((front, num_queries), bool)], axis=1)
+    bottom = jnp.concatenate(
+        [jnp.ones((num_queries, front), bool),
+         jnp.zeros((num_queries, num_queries), bool)], axis=1)
+    return jnp.concatenate([top, bottom], axis=0)
+
+
 def cdn_attn_mask(single_pad, groups, num_queries: int,
                   capacity: Optional[int] = None):
     """Self-attention mask over [dn | matching], True = BLOCKED
@@ -64,22 +92,12 @@ def cdn_attn_mask(single_pad, groups, num_queries: int,
 
     `single_pad`/`groups` may be python ints (static layout) or traced
     scalars (adaptive layout); `capacity` is the static dn slot count and
-    defaults to 2*single_pad*groups (only valid for int args). Inactive
-    slots get unique group ids -> fully isolated from every other dn slot.
+    defaults to 2*single_pad*groups (only valid for int args).
     """
     if capacity is None:
         capacity = 2 * int(single_pad) * int(groups)
-    s = jnp.arange(capacity)
-    chunk = s // single_pad
-    active = chunk < 2 * groups
-    group = jnp.where(active, chunk // 2, groups + s)
-    dn_block = group[:, None] != group[None, :]
-    top = jnp.concatenate(
-        [dn_block, jnp.zeros((capacity, num_queries), bool)], axis=1)
-    bottom = jnp.concatenate(
-        [jnp.ones((num_queries, capacity), bool),
-         jnp.zeros((num_queries, num_queries), bool)], axis=1)
-    return jnp.concatenate([top, bottom], axis=0)
+    return front_attn_mask(dn_slot_groups(single_pad, groups, capacity),
+                           num_queries)
 
 
 def build_cdn_queries(rng: jax.Array, gt_boxes: jax.Array,

@@ -248,28 +248,20 @@ def combined_attn_mask(cons_pad: int, cons_groups: int, dn_single_pad,
     matching.
 
     The consistency block layout is static (cons_pad, cons_groups python
-    ints); the dn block follows the adaptive partition of models/dn.py —
+    ints); the dn block rides `dn.dn_slot_groups` — the SAME partition
+    the supervised/dn mask uses — shifted past the consistency group ids.
     `dn_single_pad`/`dn_groups` may be traced scalars, with `dn_capacity`
     the static dn slot count (defaults to 2*dn_single_pad*dn_groups for
     int args); inactive dn slots get unique group ids (isolated)."""
+    from .dn import dn_slot_groups, front_attn_mask
     if dn_capacity is None:
         dn_capacity = 2 * int(dn_single_pad) * int(dn_groups)
     sp1 = cons_pad // cons_groups
     cons_group = jnp.arange(cons_pad) // sp1               # [0, cons_groups)
-    s = jnp.arange(dn_capacity)
-    chunk = s // dn_single_pad
-    active = chunk < 2 * dn_groups
-    dn_group = cons_groups + jnp.where(active, chunk // 2,
-                                       dn_groups + s)
-    front_group = jnp.concatenate([cons_group, dn_group])  # (front,)
-    front = cons_pad + dn_capacity
-    block = front_group[:, None] != front_group[None, :]
-    top = jnp.concatenate(
-        [block, jnp.zeros((front, num_queries), bool)], axis=1)
-    bottom = jnp.concatenate(
-        [jnp.ones((num_queries, front), bool),
-         jnp.zeros((num_queries, num_queries), bool)], axis=1)
-    return jnp.concatenate([top, bottom], axis=0)
+    dn_group = cons_groups + dn_slot_groups(dn_single_pad, dn_groups,
+                                            dn_capacity)
+    return front_attn_mask(jnp.concatenate([cons_group, dn_group]),
+                           num_queries)
 
 
 def consistency_loss(hs_student, hs_teacher, cons_weights, cons_counts,

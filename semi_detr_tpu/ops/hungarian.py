@@ -11,10 +11,11 @@ potentials (u, v) to find the shortest augmenting path, then augment. This is
 the same algorithm scipy implements (rectangular_lsap); results match scipy's
 optimal total cost exactly (assignments may differ on ties).
 
-Shapes are static: cost is (NR, NC) with NR <= NC. Padded (invalid) rows must
-carry a cost that is CONSTANT across columns (any value): constant rows cannot
-change which assignment is optimal for the valid rows, so callers simply mask
-them out of the result. `solve` handles this via `row_valid`.
+Shapes are static: cost is (NR, NC) with NR <= NC. Padded problems pass
+`row_valid`: invalid rows are SKIPPED entirely (the augmenting-path loop
+runs only over valid rows, a serial-depth cut) and their result is -1 —
+NOT a usable column index. Callers must mask by validity before indexing;
+-1 under JAX negative indexing would silently read the last column.
 """
 from __future__ import annotations
 

@@ -45,6 +45,7 @@ def multiclass_nms(boxes_xyxy: jax.Array, scores: jax.Array,
 
     Returns dict with static shapes (max_out,):
       boxes (max_out, 4), scores (max_out,), labels (max_out,) int32,
+      box_idx (max_out,) int32 (index into the input boxes row),
       valid (max_out,) bool — sorted by descending score.
     """
     n, c = scores.shape
@@ -89,5 +90,6 @@ def multiclass_nms(boxes_xyxy: jax.Array, scores: jax.Array,
         "boxes": cand[order],
         "scores": jnp.clip(sel_scores[order], 0.0),
         "labels": labels[order],
+        "box_idx": box_idx[order].astype(jnp.int32),
         "valid": keep[order] & (sel_scores[order] > 0),
     }

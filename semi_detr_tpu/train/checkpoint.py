@@ -14,6 +14,7 @@ Capability parity with the reference's checkpoint subsystem (SURVEY.md §5):
 from __future__ import annotations
 
 import os
+import re
 from typing import Optional
 
 import jax
@@ -21,6 +22,23 @@ import numpy as np
 import orbax.checkpoint as ocp
 
 from .state import TrainState
+
+
+def migrate_scanned_encoder(tree):
+    """Migrate legacy per-layer encoder params (`enc_0`..`enc_{n-1}`,
+    written before the encoder became an nn.scan) into the stacked `enc`
+    subtree (leaves gain a leading layer axis). Checkpoints from either
+    era restore transparently; non-dict inputs / current-layout trees
+    pass through unchanged."""
+    if not isinstance(tree, dict):
+        return tree
+    out = {k: migrate_scanned_encoder(v) for k, v in tree.items()}
+    enc_keys = sorted((k for k in out if re.fullmatch(r"enc_\d+", k)),
+                      key=lambda k: int(k.rsplit("_", 1)[1]))
+    if enc_keys and "enc" not in out:
+        layers = [out.pop(k) for k in enc_keys]
+        out["enc"] = jax.tree.map(lambda *xs: np.stack(xs), *layers)
+    return out
 
 
 class CheckpointManager:
@@ -58,17 +76,19 @@ class CheckpointManager:
             return self.mgr.restore(
                 step, args=ocp.args.StandardRestore(template))
         except Exception:
-            # optimizer-mismatch fallback: restore params/teacher/step only,
-            # re-init optimizer (reference resume_optimizer=False retry)
+            # structure-mismatch fallback: restore params/teacher/step only
+            # (migrating legacy param layouts), re-init optimizer
+            # (reference resume_optimizer=False retry)
             raw = self.mgr.restore(step)
             out = template.replace(
                 step=jax.numpy.asarray(raw["step"]),
-                params=jax.tree.map(np.asarray, raw["params"]),
+                params=migrate_scanned_encoder(
+                    jax.tree.map(np.asarray, raw["params"])),
                 batch_stats=jax.tree.map(np.asarray, raw["batch_stats"]),
             )
             if raw.get("teacher_params") is not None:
-                out = out.replace(teacher_params=jax.tree.map(
-                    np.asarray, raw["teacher_params"]))
+                out = out.replace(teacher_params=migrate_scanned_encoder(
+                    jax.tree.map(np.asarray, raw["teacher_params"])))
             return out
 
     def wait(self):
@@ -125,12 +145,12 @@ def load_warm_start(path: str, n_heads: int = 8) -> dict:
     assert step is not None, f"no checkpoint under {path}"
     raw = mgr.restore(step)
     mgr.close()
-    params = raw["params"]
+    params = migrate_scanned_encoder(raw["params"])
     projector = None
     if isinstance(params, dict) and "detector" in params:
         projector = params.get("projector")
         params = params["detector"]
-    teacher = raw.get("teacher_params") or params
+    teacher = migrate_scanned_encoder(raw.get("teacher_params")) or params
     return {"params": params, "teacher_params": teacher,
             "batch_stats": raw.get("batch_stats"), "projector": projector}
 

@@ -100,8 +100,13 @@ def test_negative_chunks_pushed_outside_box():
         dpos = corner_dist(q[0, j], gt[j])           # chunk 0 = positive
         dneg = corner_dist(q[0, sp + j], gt[j])      # chunk 1 = negative
         assert (dpos <= 1.0 + 1e-4).all()
-        # negatives: every un-clamped corner is in [1, 2)
-        assert (dneg >= 1.0 - 1e-4).all() or True    # clamping can shrink
+        # negatives: every corner is in [1, 2) UNLESS the [0,1] clamp bit
+        # — a clamped corner sits exactly on the image boundary, so mask
+        # those and require the bound on the rest (strictly, not `or True`)
+        qn = q[0, sp + j]
+        qc = np.concatenate([qn[:2] - qn[2:] / 2, qn[:2] + qn[2:] / 2])
+        unclamped = (qc > 1e-6) & (qc < 1.0 - 1e-6)
+        assert (dneg[unclamped] >= 1.0 - 1e-4).all()
         assert dneg.max() > 1.0 - 1e-4               # at least one outside
 
 

@@ -89,6 +89,29 @@ def test_checkpoint_roundtrip(tmp_path):
     np.testing.assert_allclose(np.asarray(dup.teacher_params["w"]), 7.0)
 
 
+def test_migrate_scanned_encoder_layout():
+    """Legacy enc_0..enc_{n-1} checkpoints restack into the scanned 'enc'
+    subtree; current-layout and unrelated keys pass through untouched."""
+    from semi_detr_tpu.train.checkpoint import migrate_scanned_encoder
+    legacy = {"transformer": {
+        "enc_0": {"norm1": {"scale": np.zeros(4)}},
+        "enc_1": {"norm1": {"scale": np.ones(4)}},
+        "enc_output": {"kernel": np.ones((4, 4))},   # not a layer key
+        "dec_0": {"norm1": {"scale": np.ones(4)}},
+    }}
+    out = migrate_scanned_encoder(legacy)
+    t = out["transformer"]
+    assert "enc_0" not in t and "enc_1" not in t
+    assert t["enc"]["norm1"]["scale"].shape == (2, 4)
+    np.testing.assert_allclose(t["enc"]["norm1"]["scale"][1], 1.0)
+    assert "enc_output" in t and "dec_0" in t
+    # idempotent on the current layout (and under a nested detector root)
+    again = migrate_scanned_encoder({"detector": out})
+    assert again["detector"]["transformer"]["enc"]["norm1"][
+        "scale"].shape == (2, 4)
+    assert migrate_scanned_encoder(None) is None
+
+
 def test_dual_filter_and_positions():
     from semi_detr_tpu.models.ssod import SsodConfig, dual_filter
     costs = jnp.asarray([[1.0, 5.0, 2.0, 9.0]])

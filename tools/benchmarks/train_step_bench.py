@@ -100,62 +100,31 @@ def main():
 def ssod_bench(args):
     """Full SSOD recipe step (the north-star workload, reference
     `configs/detr_ssod/detr_ssod_dino_detr_r50_coco_120k.py:3-5`):
-    1 sup + `--batch` unsup images, two views each, on one chip."""
+    1 sup + `--batch` unsup images, two views each, on one chip.
+    Setup + timing ride the shared harness (`semi_detr_tpu/train/bench.py`)
+    so this and the driver metric (`bench.py`) measure the same thing."""
     import time
 
-    import jax
-    import jax.numpy as jnp
-    import optax
-    from semi_detr_tpu.data.synthetic import synthetic_ssod_batch
-    from semi_detr_tpu.models.dino_head import DinoConfig, DINODetector
-    from semi_detr_tpu.models.ssod import Projector, SsodConfig
-    from semi_detr_tpu.train import optim
-    from semi_detr_tpu.train.ssod import (init_ssod_state,
-                                          make_ssod_train_step)
+    from semi_detr_tpu.train.bench import build_ssod_step, timed_steps
 
     # --batch sets the unsup count; the default (2, supervised-oriented)
     # maps to the recipe's 4 unsup per sup
     n_sup, n_unsup = 1, (4 if args.batch == 2 else args.batch)
     h, w = args.height, args.width
-    cfg = SsodConfig(dino=DinoConfig(dtype=jnp.bfloat16,
-                                     remat=not args.no_remat))
-    detector = DINODetector(cfg.dino)
-    projector = Projector(cfg.dino.d_model)
-    rng = jax.random.PRNGKey(0)
-    batch = jax.tree.map(jnp.asarray,
-                         synthetic_ssod_batch(n_sup, n_unsup, h, w,
-                                              cfg.dino.max_gt))
+    warm_up = not args.post_warmup
 
     t0 = time.time()
-    state = init_ssod_state(detector, projector, optax.identity(), cfg, rng,
-                            batch["sup"]["images"][:1],
-                            batch["sup"]["img_hw"][:1])
-    tx = optim.make_optimizer(state.params)
-    state = state.replace(opt_state=tx.init(state.params))
+    step, state, batch, rng = build_ssod_step(
+        n_sup, n_unsup, h, w, warm_up=warm_up,
+        remat=not args.no_remat, donate=args.donate)
     print(f"init: {time.time() - t0:.1f}s")
 
-    warm_up = not args.post_warmup
-    step = make_ssod_train_step(detector, projector, tx, cfg,
-                                warm_up=warm_up,
-                                donate=args.donate)
-    t0 = time.time()
-    state, metrics = step(state, batch, rng)
-    total = float(metrics["total_loss"])
-    print(f"first step (compile, warm_up={warm_up}): "
-          f"{time.time() - t0:.1f}s, loss {total:.3f}")
-
+    med, _, _, compile_s = timed_steps(step, state, batch, rng,
+                                       iters=args.steps,
+                                       profile=args.profile)
+    print(f"first step (compile, warm_up={warm_up}): {compile_s:.1f}s")
     if args.profile:
-        jax.profiler.start_trace(args.profile)
-    ts = []
-    for _ in range(args.steps):
-        t0 = time.time()
-        state, metrics = step(state, batch, rng)
-        _ = float(metrics["total_loss"])
-        ts.append(time.time() - t0)
-    if args.profile:
-        jax.profiler.stop_trace()
         print(f"trace written to {args.profile}")
-    med = sorted(ts)[len(ts) // 2]
     n_img = n_sup + n_unsup
     print(f"steady-state: {med * 1000:.0f} ms/step -> "
           f"{n_img / med:.2f} img/s/chip "

@@ -41,7 +41,9 @@ def gt_stats(ann_path: str, max_gt: int, dn_budget: int):
             continue
         counts[a["image_id"]] = counts.get(a["image_id"], 0) + 1
     n_img = len(coco.get("images", []))
-    c = np.zeros(n_img, np.int64)
+    # annotations may reference ids outside the (filtered) images list;
+    # count such images too rather than crashing on the broadcast
+    c = np.zeros(max(n_img, len(counts)), np.int64)
     c[:len(counts)] = sorted(counts.values(), reverse=True)
     total_gt = int(c.sum())
     dn_cap = dn_budget // 2
@@ -55,6 +57,48 @@ def gt_stats(ann_path: str, max_gt: int, dn_budget: int):
         lost = int(np.maximum(c - cap, 0).sum())
         print(f"{name}: {over_img} images over ({over_pct:.4%}), "
               f"{lost} GTs clipped ({lost / max(total_gt, 1):.4%})")
+
+
+def exact_multiclass_nms_np(boxes_xyxy, scores, score_thr, iou_thr, max_out):
+    """Reference-exact multiclass NMS in numpy: every score>thr candidate
+    (no pre_topk), class-wise greedy, top max_out by score — the semantics
+    of the reference pseudo path (score filter then batched_nms,
+    dino_detr_ssod_head.py:1368-1399). Returns the surviving candidate
+    identities as a set of (box_index, class) pairs plus their count.
+
+    Feasible at flagship scale because the score filter runs FIRST: of the
+    900x80 grid only the >0.01 entries (typically a few hundred) reach the
+    O(k^2) suppression, vs the jax kernel's fixed pre_topk slab.
+    """
+    n, c = scores.shape
+    bi, ci = np.nonzero(scores > score_thr)
+    s = scores[bi, ci]
+    order = np.argsort(-s, kind="stable")
+    bi, ci, s = bi[order], ci[order], s[order]
+    cand = boxes_xyxy[bi]
+    keep_ids = []
+    # per-class greedy; vectorized suppression within each class
+    for cls in np.unique(ci):
+        m = ci == cls
+        b, ids = cand[m], bi[m]
+        alive = np.ones(len(b), bool)
+        area = np.maximum(b[:, 2] - b[:, 0], 0) * np.maximum(
+            b[:, 3] - b[:, 1], 0)
+        for i in range(len(b)):
+            if not alive[i]:
+                continue
+            keep_ids.append((int(ids[i]), int(cls), float(s[m][i])))
+            xx1 = np.maximum(b[i, 0], b[i + 1:, 0])
+            yy1 = np.maximum(b[i, 1], b[i + 1:, 1])
+            xx2 = np.minimum(b[i, 2], b[i + 1:, 2])
+            yy2 = np.minimum(b[i, 3], b[i + 1:, 3])
+            inter = np.maximum(xx2 - xx1, 0) * np.maximum(yy2 - yy1, 0)
+            iou = inter / np.maximum(area[i] + area[i + 1:] - inter, 1e-9)
+            alive[i + 1:] &= iou <= iou_thr
+    keep_ids.sort(key=lambda t: -t[2])
+    keep_ids = keep_ids[:max_out]
+    return {(b, c_) for b, c_, _ in keep_ids}, np.asarray(
+        [sc for _, _, sc in keep_ids])
 
 
 def pseudo_stats(args):
@@ -84,17 +128,21 @@ def pseudo_stats(args):
         scores = jax.nn.sigmoid(logits)
         from semi_detr_tpu.core import boxes as box_ops
         boxes = jnp.clip(box_ops.cxcywh_to_xyxy(coords), 0.0, 1.0)
-        exact = multiclass_nms(boxes, scores, 0.01, 0.6, 300,
-                               pre_topk=int(scores.size))
+        exact_ids, exact_scores = exact_multiclass_nms_np(
+            np.asarray(boxes), np.asarray(scores), 0.01, 0.6, 300)
         capped = multiclass_nms(boxes, scores, 0.01, 0.6, 300,
                                 pre_topk=args.pre_topk)
-        ne = int(np.asarray(exact["valid"]).sum())
-        nc_ = int(np.asarray(capped["valid"]).sum())
-        recall_hits += nc_
-        recall_tot += ne
-        nms_counts.append(ne)
+        cv = np.asarray(capped["valid"])
+        # survivor IDENTITY (candidate box index, class), not counts —
+        # a swapped suppression chain must register as recall loss
+        capped_ids = {(int(b), int(l)) for b, l, v in zip(
+            np.asarray(capped["box_idx"]), np.asarray(capped["labels"]), cv)
+            if v}
+        recall_hits += len(exact_ids & capped_ids)
+        recall_tot += len(exact_ids)
+        nms_counts.append(len(exact_ids))
         # mean+std filter (extract_teacher_info, dino_detr_ssod.py:918-927)
-        s = np.asarray(exact["scores"])[np.asarray(exact["valid"])]
+        s = exact_scores
         if len(s):
             thr = s.mean() + s.std()
             filt_counts.append(int((s >= thr).sum()))
