@@ -15,12 +15,19 @@ from typing import Dict, Sequence, Tuple
 def write_synthetic_coco(root: str, n: int = 8,
                          hw: Tuple[int, int] = (96, 128), seed: int = 0,
                          class_name: str = "person",
-                         splits: Dict[str, Sequence[int]] = None):
+                         splits: Dict[str, Sequence[int]] = None,
+                         n_classes: int = 1, max_boxes: int = 1):
     """Write images + annotation json(s) under `root`.
 
     splits: {name: image indices (0-based)} -> writes `<name>.json` per
     split; None -> one `ann.json` with all images. Returns
     (paths dict or single path, image dir).
+
+    n_classes/max_boxes: defaults reproduce the original single-box
+    single-class scene. With max_boxes > 1 each image gets 1..max_boxes
+    rectangles (occluded regions are still annotated by their full box,
+    like real COCO amodal-ish boxes); with n_classes > 1 each class has
+    a distinct fill color so the classification task is learnable.
     """
     import cv2
     import numpy as np
@@ -29,21 +36,33 @@ def write_synthetic_coco(root: str, n: int = 8,
     img_dir = os.path.join(root, "images")
     os.makedirs(img_dir, exist_ok=True)
     h, w = hw
+    # distinct, bright per-class colors (BGR); class 0 keeps the
+    # original red so old fixtures render identically
+    palette = [(220, 60, 60), (60, 220, 60), (60, 60, 220),
+               (220, 220, 60), (220, 60, 220), (60, 220, 220)]
     images, anns = [], []
+    aid = 0
     for i in range(1, n + 1):
         img = (rs.rand(h, w, 3) * 40).astype(np.uint8)
-        bw = int(rs.uniform(0.22 * w, 0.36 * w))
-        bh = int(rs.uniform(0.25 * h, 0.42 * h))
-        x = int(rs.uniform(0, w - bw))
-        y = int(rs.uniform(0, h - bh))
-        img[y:y + bh, x:x + bw] = (220, 60, 60)
+        k = 1 if max_boxes <= 1 else int(rs.randint(1, max_boxes + 1))
+        for _ in range(k):
+            bw = int(rs.uniform(0.22 * w, 0.36 * w))
+            bh = int(rs.uniform(0.25 * h, 0.42 * h))
+            x = int(rs.uniform(0, w - bw))
+            y = int(rs.uniform(0, h - bh))
+            # no RNG draw when single-class: keeps the default fixtures'
+            # random stream (and thus pixels) byte-identical to before
+            cls = 0 if n_classes == 1 else int(rs.randint(0, n_classes))
+            img[y:y + bh, x:x + bw] = palette[cls % len(palette)]
+            aid += 1
+            anns.append({"id": aid, "image_id": i, "category_id": cls + 1,
+                         "bbox": [x, y, bw, bh], "area": bw * bh,
+                         "iscrowd": 0})
         cv2.imwrite(os.path.join(img_dir, f"{i}.jpg"), img)
         images.append({"id": i, "file_name": f"{i}.jpg", "width": w,
                        "height": h})
-        anns.append({"id": i, "image_id": i, "category_id": 1,
-                     "bbox": [x, y, bw, bh], "area": bw * bh,
-                     "iscrowd": 0})
-    cats = [{"id": 1, "name": class_name}]
+    cats = [{"id": c + 1, "name": class_name if c == 0 else f"class{c}"}
+            for c in range(n_classes)]
 
     def dump(name, idx):
         sel = [images[j] for j in idx]

@@ -285,3 +285,34 @@ def test_synthetic_ssod_batch_matches_step_layout():
         np.testing.assert_array_equal(
             b["unsup"][f"{side}_tmat"][0], np.eye(3))
     assert (0 < gt["boxes"]).all() and (gt["boxes"] < 1).all()
+
+
+def test_write_synthetic_coco_multiobject(tmp_path):
+    """n_classes/max_boxes extend the generator without touching the
+    default single-box single-class stream (byte-identical RNG path)."""
+    import json
+    from semi_detr_tpu.data.synthetic import write_synthetic_coco
+
+    path, img_dir = write_synthetic_coco(
+        str(tmp_path / "m"), n=12, hw=(64, 96), seed=3,
+        n_classes=3, max_boxes=5)
+    d = json.load(open(path))
+    assert len(d["images"]) == 12
+    assert len(d["categories"]) == 3
+    per_img = {}
+    for a in d["annotations"]:
+        per_img[a["image_id"]] = per_img.get(a["image_id"], 0) + 1
+        assert 1 <= a["category_id"] <= 3
+        x, y, w, h = a["bbox"]
+        assert 0 <= x and 0 <= y and x + w <= 96 and y + h <= 64
+    assert max(per_img.values()) > 1          # multi-object actually occurs
+    assert max(per_img.values()) <= 5
+    assert len({a["id"] for a in d["annotations"]}) == len(d["annotations"])
+
+    # default args: single box per image, one category, ann ids == img ids
+    p1, _ = write_synthetic_coco(str(tmp_path / "s"), n=4, hw=(64, 96),
+                                 seed=3)
+    d1 = json.load(open(p1))
+    assert len(d1["annotations"]) == 4
+    assert [a["id"] for a in d1["annotations"]] == [1, 2, 3, 4]
+    assert d1["categories"] == [{"id": 1, "name": "person"}]
