@@ -70,6 +70,17 @@ _FWD_NO_GATHER = os.environ.get("SDT_FWD_NO_GATHER") == "1"
 # tools/benchmarks/sweep_on_chip.sh before making it a default.
 _PACKED_GATHER = os.environ.get("SDT_PACKED_GATHER") == "1"
 
+# bf16 scatter matrix C in the backward (EXPERIMENT, default off): the
+# offline vreg model (ROADMAP P0.6) says building the (128,128) one-hot
+# C dominates the bwd per-window cost at D=32/P=4 — 16 f32 vregs per
+# select x 16 taps. A bf16 C halves the select traffic (8 vregs) and
+# the C @ g matmul becomes one native MXU pass (g cast to bf16 too).
+# d_value error ~1e-3 relative (weights + cotangent rounded to bf16;
+# accumulation stays f32 via preferred_element_type) — below bf16
+# training noise. d_loc / d_attn are untouched (separate dot path).
+# A/B as SDT_BWD_C_BF16=1 in sweep_on_chip.sh before defaulting.
+_BWD_C_BF16 = os.environ.get("SDT_BWD_C_BF16") == "1"
+
 
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
@@ -405,7 +416,7 @@ def ms_deform_attn_pallas(value: jax.Array,
 def _bwd_kernel(locx_ref, locy_ref, attn_ref, g_ref, gT_ref, value_ref,
                 dv_ref, dlx_ref, dly_ref, da_ref, *,
                 spatial_shapes: Tuple[Tuple[int, int], ...],
-                n_points: int):
+                n_points: int, c_bf16: bool = False):
     """Windowed backward, one combined scatter matmul per window.
 
     Math matches XLA autodiff of the oracle exactly: for corner c with
@@ -429,6 +440,9 @@ def _bwd_kernel(locx_ref, locy_ref, attn_ref, g_ref, gT_ref, value_ref,
 
     g = g_ref[0, 0]                                     # (D, BQ)
     gT = gT_ref[0, 0]                                   # (BQ, D)
+    c_dt = jnp.bfloat16 if c_bf16 else jnp.float32
+    if c_bf16:
+        gT = gT.astype(jnp.bfloat16)    # one native MXU pass for C @ g
     attn = attn_ref[0, 0]                               # (LP, BQ)
     corners, wsv, hsv = _corner_terms(locx_ref[0, 0], locy_ref[0, 0],
                                       attn, spatial_shapes, P)
@@ -452,7 +466,7 @@ def _bwd_kernel(locx_ref, locy_ref, attn_ref, g_ref, gT_ref, value_ref,
             r = k // ncol
             wnd = tstart + (rmin + r) * ntc + (cmin + k - r * ncol)
             tile = value_ref[0, 0, wnd]                  # (D, BQ)
-            C = jnp.zeros((_BQ, _BQ), jnp.float32)       # (token, query)
+            C = jnp.zeros((_BQ, _BQ), c_dt)              # (token, query)
             for ci in range(4):
                 hit = wins[ci] == wnd                    # (P, BQ)
                 m_all = jnp.where(hit, wgts[ci], 0.0)
@@ -466,8 +480,9 @@ def _bwd_kernel(locx_ref, locy_ref, attn_ref, g_ref, gT_ref, value_ref,
                                                               (_BQ, _BQ))
                         C = C + jnp.where(
                             onehot,
-                            jnp.broadcast_to(m_all[p:p + 1], (_BQ, _BQ)),
-                            0.0)
+                            jnp.broadcast_to(
+                                m_all[p:p + 1].astype(c_dt), (_BQ, _BQ)),
+                            c_dt(0))
                 if not _SKIP_DLOC:
                     dot = jnp.where(hit, jnp.concatenate(dots, 0), 0.0)
                     da_l = da_l + bws[ci] * dot
@@ -479,7 +494,8 @@ def _bwd_kernel(locx_ref, locy_ref, attn_ref, g_ref, gT_ref, value_ref,
                 delta = jax.lax.dot_general(
                     C, gT, dimension_numbers=(((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
-                    precision=_BWD_MM_PRECISION)
+                    precision=(jax.lax.Precision.DEFAULT if c_bf16
+                               else _BWD_MM_PRECISION))
                 dv_ref[0, 0, wnd] = dv_ref[0, 0, wnd] + delta
             return da_l, dpx_l, dpy_l
 
@@ -492,12 +508,19 @@ def _bwd_kernel(locx_ref, locy_ref, attn_ref, g_ref, gT_ref, value_ref,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("spatial_shapes", "interpret"))
+                   static_argnames=("spatial_shapes", "interpret",
+                                    "c_bf16"))
 def ms_deform_attn_bwd_pallas(value, spatial_shapes, sampling_locations,
                               attention_weights, cotangent,
-                              interpret: bool = False):
+                              interpret: bool = False,
+                              c_bf16: bool = None):
     """Backward of ms_deform_attn: returns (d_value, d_locations,
-    d_attention_weights) given the output cotangent (N, Lq, M*D)."""
+    d_attention_weights) given the output cotangent (N, Lq, M*D).
+
+    c_bf16: build the d_value scatter matrix in bf16 (see _BWD_C_BF16);
+    None reads SDT_BWD_C_BF16."""
+    if c_bf16 is None:
+        c_bf16 = _BWD_C_BF16
     N, S, M, D = value.shape
     _, Lq, _, L, P, _ = sampling_locations.shape
     taps = L * P
@@ -515,7 +538,7 @@ def ms_deform_attn_bwd_pallas(value, spatial_shapes, sampling_locations,
 
     grid = (N, M, lq_t // _BQ)
     kernel = functools.partial(_bwd_kernel, spatial_shapes=spatial_shapes,
-                               n_points=P)
+                               n_points=P, c_bf16=c_bf16)
 
     def spec(shape, imap):
         return pl.BlockSpec(shape, imap, memory_space=pltpu.VMEM)

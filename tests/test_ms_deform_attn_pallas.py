@@ -187,3 +187,26 @@ def test_packed_bf16_gather_matches_bf16_oracle():
     got32 = ms_deform_attn_pallas(v, SHAPES, loc, aw, interpret=True)
     np.testing.assert_allclose(np.asarray(got, np.float32),
                                np.asarray(got32), rtol=3e-2, atol=3e-2)
+
+
+def test_bwd_c_bf16_dv_close_dloc_dattn_exact():
+    """SDT_BWD_C_BF16 path: d_value within bf16 rounding of the f32
+    scatter (weights + cotangent rounded, accumulation stays f32);
+    d_loc / d_attn use a separate dot path and must be untouched."""
+    from semi_detr_tpu.ops.ms_deform_attn_pallas import \
+        ms_deform_attn_bwd_pallas
+    rs = np.random.RandomState(17)
+    v, loc, aw = _inputs(rs, d=8, lq=32)
+    g = jnp.asarray(rs.randn(1, 32, 2 * 8).astype(np.float32))
+    dv32, dl32, da32 = ms_deform_attn_bwd_pallas(v, SHAPES, loc, aw, g,
+                                                 interpret=True,
+                                                 c_bf16=False)
+    dvb, dlb, dab = ms_deform_attn_bwd_pallas(v, SHAPES, loc, aw, g,
+                                              interpret=True, c_bf16=True)
+    np.testing.assert_allclose(np.asarray(dvb), np.asarray(dv32),
+                               rtol=3e-2, atol=3e-2)
+    assert not np.allclose(np.asarray(dvb), np.asarray(dv32),
+                           rtol=1e-7, atol=1e-9), \
+        "bf16 path took effect (dv differs at f32 exactness)"
+    np.testing.assert_array_equal(np.asarray(dlb), np.asarray(dl32))
+    np.testing.assert_array_equal(np.asarray(dab), np.asarray(da32))

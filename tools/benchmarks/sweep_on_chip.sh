@@ -43,6 +43,10 @@ run env SDT_FWD_NO_GATHER=1 python \
 run env SDT_PACKED_GATHER=1 python \
   tools/benchmarks/attn_kernel_bench.py --iters 5 --skip-xla \
   --skip-parity --bf16-value
+# 4b. bf16 scatter-matrix A/B (bwd C build, ROADMAP P0.6; interpret-mode
+# parity in tests/test_ms_deform_attn_pallas.py)
+run env SDT_BWD_C_BF16=1 python \
+  tools/benchmarks/attn_kernel_bench.py --iters 5 --skip-xla --skip-parity
 # 5. in-graph Hungarian attribution (post-warm-up serial suspect)
 run python tools/benchmarks/hungarian_bench.py
 # 6. flagship supervised train step (both stages)
