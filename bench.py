@@ -29,6 +29,7 @@ import time
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_tpu")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
+import contextlib
 import subprocess
 import sys
 
@@ -37,22 +38,65 @@ import jax.numpy as jnp
 
 A100_REF_IMG_PER_SEC = 2.5   # estimated reference throughput (see header)
 
+# Two concurrent axon clients can wedge the loopback relay, so every
+# cooperating TPU client here (this bench, sweep_on_chip.sh, ad-hoc
+# probes) serializes on one flock file.
+_TPU_LOCK = "/tmp/sdt_tpu.lock"
 
-def _probe_devices(timeout_s: int = 120):
+
+@contextlib.contextmanager
+def _tpu_lock(max_wait_s: int = 1800):
+    """Bounded-wait exclusive lock; proceeds anyway after max_wait_s
+    (the bench must always emit its line, even if a sweep run hangs)."""
+    import fcntl
+    f = open(_TPU_LOCK, "w")
+    deadline = time.monotonic() + max_wait_s
+    got = False
+    while time.monotonic() < deadline:
+        try:
+            fcntl.flock(f, fcntl.LOCK_EX | fcntl.LOCK_NB)
+            got = True
+            break
+        except OSError:
+            time.sleep(10)
+    if not got:
+        print("bench: TPU lock busy after wait; proceeding", file=sys.stderr)
+    try:
+        yield
+    finally:
+        if got:
+            fcntl.flock(f, fcntl.LOCK_UN)
+        f.close()
+
+
+def _probe_devices(timeout_s: int = 120, retries: int = None,
+                   retry_wait_s: int = 90):
     """Device init probed in a SUBPROCESS: a wedged axon tunnel makes
     jax.devices() hang forever inside native code (uninterruptible by
     signals), so probe out-of-process and pin this process to CPU on
-    failure — the bench must always emit its JSON line."""
-    try:
-        out = subprocess.run(
-            [sys.executable, "-c",
-             "import jax; print('PLAT', jax.devices()[0].platform)"],
-            timeout=timeout_s, capture_output=True, text=True)
-        for line in out.stdout.splitlines():
-            if line.startswith("PLAT "):
-                return line.split()[1]
-    except Exception:
-        pass
+    failure — the bench must always emit its JSON line.
+
+    A wedged tunnel is sometimes restored by the sandbox infra within
+    minutes, and a CPU-fallback point is worthless to the tracked
+    series, so retry a few times (bounded: ~3x(120+90)s ~= 10 min worst
+    case) before giving up. SDT_BENCH_PROBE_RETRIES overrides."""
+    if retries is None:
+        retries = int(os.environ.get("SDT_BENCH_PROBE_RETRIES", "3"))
+    for attempt in range(max(retries, 1)):
+        if attempt:
+            time.sleep(retry_wait_s)
+        try:
+            out = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; print('PLAT', jax.devices()[0].platform)"],
+                timeout=timeout_s, capture_output=True, text=True)
+            for line in out.stdout.splitlines():
+                if line.startswith("PLAT "):
+                    return line.split()[1]
+        except Exception:
+            pass
+        print(f"bench: device probe {attempt + 1}/{retries} failed",
+              file=sys.stderr)
     try:
         jax.config.update("jax_platforms", "cpu")
     except Exception:
@@ -129,11 +173,12 @@ def _bench_supervised_cpu():
 
 
 def main():
-    platform = _probe_devices()
-    if platform == "tpu":
-        out = _bench_ssod_tpu()
-    else:
-        out = _bench_supervised_cpu()
+    with _tpu_lock():
+        platform = _probe_devices()
+        if platform == "tpu":
+            out = _bench_ssod_tpu()
+        else:
+            out = _bench_supervised_cpu()
     print(json.dumps(out))
 
 

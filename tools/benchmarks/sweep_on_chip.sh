@@ -10,8 +10,12 @@ LOG=${1:-/tmp/sweep_on_chip.log}
 export JAX_COMPILATION_CACHE_DIR=/tmp/jax_cache
 export JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS=1
 
+# All TPU clients (this sweep, bench.py, ad-hoc probes) serialize on one
+# flock: two concurrent axon clients can wedge the loopback relay.
+TPULOCK=/tmp/sdt_tpu.lock
+
 probe() {
-  timeout 60 python -c "
+  flock "$TPULOCK" timeout 60 python -c "
 import jax, jax.numpy as jnp
 print('tpu alive:', float((jnp.ones((8,8))@jnp.ones((8,8))).sum()))" \
     >/dev/null 2>&1
@@ -23,7 +27,7 @@ echo "[sweep] TPU alive at $(date)" | tee -a "$LOG"
 
 run() {
   echo "=== $* ($(date +%H:%M:%S))" >> "$LOG"
-  timeout 2700 "$@" >> "$LOG" 2>&1
+  flock "$TPULOCK" timeout 2700 "$@" >> "$LOG" 2>&1
   echo "=== exit $? ===" >> "$LOG"
 }
 
