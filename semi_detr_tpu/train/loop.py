@@ -28,7 +28,7 @@ from ..data.sampler import SemiBalanceSampler
 from ..models.dino_head import DinoConfig, DINODetector
 from ..models.inference import evaluate_teacher_and_student
 from ..models.ssod import Projector, SsodConfig
-from ..parallel import make_mesh, shard_batch
+from ..parallel import fsdp_sharding, make_mesh, shard_batch
 from ..utils.logging import (MetricsLogger, log_image_with_boxes,
                              weight_summary)
 from . import optim
@@ -109,7 +109,8 @@ class SsodTrainer:
                  load_from: Optional[str] = None,
                  multi_bucket: bool = False,
                  epoch_length: int = 7330,
-                 image_log_interval: int = 2000):
+                 image_log_interval: int = 2000,
+                 fsdp: bool = False):
         self.cfg = cfg
         self.work_dir = work_dir
         # throttled pseudo-label render interval, 0 = off (reference
@@ -161,17 +162,23 @@ class SsodTrainer:
                     self.state,
                     load_warm_start(load_from, cfg.dino.n_heads),
                     ssod=True)
+        self.state_sharding = None
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
-            self.state = jax.device_put(
-                self.state, NamedSharding(self.mesh, P()))
+            # fsdp: shard params/opt/teacher leaves over the data axis
+            # (ZeRO analog, parallel.fsdp_sharding) instead of replicating
+            self.state_sharding = (
+                fsdp_sharding(self.mesh, self.state) if fsdp
+                else NamedSharding(self.mesh, P()))
+            self.state = jax.device_put(self.state, self.state_sharding)
         self._steps = {}
 
     def _get_step(self, warm_up: bool):
         if warm_up not in self._steps:
             self._steps[warm_up] = make_ssod_train_step(
                 self.detector, self.projector, self.tx, self.cfg,
-                warm_up=warm_up, mesh=self.mesh)
+                warm_up=warm_up, mesh=self.mesh,
+                state_sharding=self.state_sharding)
         return self._steps[warm_up]
 
     def batches(self, start_step: int = 0):
@@ -291,7 +298,8 @@ class SupervisedTrainer:
                  use_mesh: bool = True, with_teacher: bool = False,
                  backbone_init: Optional[str] = None,
                  load_from: Optional[str] = None,
-                 multi_bucket: bool = False):
+                 multi_bucket: bool = False,
+                 fsdp: bool = False):
         self.cfg = cfg
         self.multi_bucket = multi_bucket
         self.scales = scales
@@ -331,16 +339,20 @@ class SupervisedTrainer:
                 self.state = apply_warm_start(
                     self.state, load_warm_start(load_from, cfg.n_heads),
                     ssod=False)
+        self.state_sharding = None
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
-            self.state = jax.device_put(
-                self.state, NamedSharding(self.mesh, P()))
+            self.state_sharding = (
+                fsdp_sharding(self.mesh, self.state) if fsdp
+                else NamedSharding(self.mesh, P()))
+            self.state = jax.device_put(self.state, self.state_sharding)
         self._steps = {}
 
     def _get_step(self, warm_up: bool):
         if warm_up not in self._steps:
             self._steps[warm_up] = make_supervised_train_step(
-                self.detector, self.tx, warm_up=warm_up, mesh=self.mesh)
+                self.detector, self.tx, warm_up=warm_up, mesh=self.mesh,
+                state_sharding=self.state_sharding)
         return self._steps[warm_up]
 
     def resume(self, path: Optional[str] = None):

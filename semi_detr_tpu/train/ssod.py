@@ -183,7 +183,8 @@ def _unsup_forward_and_loss(detector: DINODetector, projector: Projector,
 
 def make_ssod_train_step(detector: DINODetector, projector: Projector,
                          tx: optax.GradientTransformation, cfg: SsodConfig,
-                         warm_up: bool, mesh=None, donate: bool = False):
+                         warm_up: bool, mesh=None, donate: bool = False,
+                         state_sharding=None):
     """Returns step(state, batch, rng) -> (state, metrics).
 
     batch = {
@@ -240,9 +241,12 @@ def make_ssod_train_step(detector: DINODetector, projector: Projector,
         from jax.sharding import NamedSharding, PartitionSpec as P
         repl = NamedSharding(mesh, P())
         data = NamedSharding(mesh, P("data"))
+        # state_sharding: replicated by default, or the per-leaf FSDP
+        # tree from parallel.fsdp_sharding (params/opt/teacher sharded)
+        st = state_sharding if state_sharding is not None else repl
         return jax.jit(step_fn,
-                       in_shardings=(repl, data, repl),
-                       out_shardings=(repl, repl),
+                       in_shardings=(st, data, repl),
+                       out_shardings=(st, repl),
                        donate_argnums=(0,) if donate else ())
     return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
 

@@ -29,7 +29,8 @@ def make_supervised_train_step(model: DINODetector,
                                ema_momentum: float = 0.999,
                                ema_warm: int = 0,
                                mesh=None,
-                               donate: bool = False):
+                               donate: bool = False,
+                               state_sharding=None):
     """Returns step(state, batch, rng) -> (state, metrics).
 
     batch: {images (B,H,W,3) f32, img_hw (B,2) i32,
@@ -75,9 +76,12 @@ def make_supervised_train_step(model: DINODetector,
         from jax.sharding import NamedSharding, PartitionSpec as P
         repl = NamedSharding(mesh, P())
         data = NamedSharding(mesh, P("data"))
+        # state_sharding: replicated by default, or the per-leaf FSDP
+        # tree from parallel.fsdp_sharding (params/opt/teacher sharded)
+        st = state_sharding if state_sharding is not None else repl
         return jax.jit(
             step_fn,
-            in_shardings=(repl, data, repl),
-            out_shardings=(repl, repl),
+            in_shardings=(st, data, repl),
+            out_shardings=(st, repl),
             donate_argnums=(0,) if donate else ())
     return jax.jit(step_fn, donate_argnums=(0,) if donate else ())

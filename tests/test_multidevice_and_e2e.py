@@ -95,6 +95,29 @@ def _mesh_equivalence_body():
         np.asarray(s1.params["detector"]["label_enc"]),
         np.asarray(s8.params["detector"]["label_enc"]),
         rtol=1e-4, atol=1e-6)
+
+    # FSDP leg: params/opt/teacher sharded over the same axis
+    # (min_size=1 so the tiny config's leaves actually shard) must be
+    # numerically equivalent — XLA all-gathers at use, reduce-scatters
+    # grads, local AdamW/EMA on shards
+    from semi_detr_tpu.parallel import fsdp_sharding
+    shards = fsdp_sharding(mesh, state0, min_size=1)
+    state_f = jax.device_put(state0, shards)
+    stepf = make_ssod_train_step(detector, projector, tx, cfg,
+                                 warm_up=True, mesh=mesh,
+                                 state_sharding=shards)
+    sf, mf = stepf(state_f, shard_batch(batch, mesh), rng)
+    for key in ("total_loss", "grad_norm", "unsup_loss_cls", "gmm_thr"):
+        np.testing.assert_allclose(float(m1[key]), float(mf[key]),
+                                   rtol=2e-3, atol=1e-5, err_msg=key)
+    np.testing.assert_allclose(
+        np.asarray(s1.params["detector"]["label_enc"]),
+        np.asarray(jax.device_get(sf.params["detector"]["label_enc"])),
+        rtol=1e-4, atol=1e-6)
+    # the big leaves really are sharded, not replicated
+    n_sharded = sum(
+        int(s.spec != P()) for s in jax.tree.leaves(shards))
+    assert n_sharded > 10, n_sharded
     print("MESH_EQUIV_OK")
 
 

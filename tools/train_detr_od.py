@@ -36,7 +36,8 @@ def main():
         seed=cfg.get("seed", 0),
         backbone_init=cfg.get("backbone_init"),
         load_from=cfg.get("load_from"),
-        multi_bucket=bool(cfg.get("multi_bucket", False)))
+        multi_bucket=bool(cfg.get("multi_bucket", False)),
+        fsdp=bool(cfg.get("fsdp", False)))
     if args.resume_from:
         trainer.resume(args.resume_from)
     elif trainer.ckpt.latest_step() is not None:

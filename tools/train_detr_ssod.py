@@ -47,7 +47,8 @@ def main():
         load_from=cfg.get("load_from"),
         multi_bucket=bool(cfg.get("multi_bucket", False)),
         epoch_length=int(sched.get("epoch_length", 7330)),
-        image_log_interval=int(cfg.get("image_log_interval", 2000)))
+        image_log_interval=int(cfg.get("image_log_interval", 2000)),
+        fsdp=bool(cfg.get("fsdp", False)))
     if args.resume_from:
         trainer.resume(args.resume_from)
     elif trainer.ckpt.latest_step() is not None:
