@@ -316,3 +316,19 @@ def test_write_synthetic_coco_multiobject(tmp_path):
     assert len(d1["annotations"]) == 4
     assert [a["id"] for a in d1["annotations"]] == [1, 2, 3, 4]
     assert d1["categories"] == [{"id": 1, "name": "person"}]
+
+
+def test_class_names_custom_list():
+    """data.classes: explicit name list (mmdet custom-dataset parity),
+    'voc' keyword, or unset -> COCO80 (tools/common.py:class_names)."""
+    import os
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))), "tools"))
+    from common import COCO_CLASSES, VOC_CLASSES, class_names
+
+    assert class_names({"data": {}}) == COCO_CLASSES
+    assert class_names({"data": {"classes": "voc"}}) == VOC_CLASSES
+    assert class_names(
+        {"data": {"classes": ["person", "class1", "class2"]}}) \
+        == ("person", "class1", "class2")

@@ -57,8 +57,15 @@ def load_cfg(args) -> dict:
 
 
 def class_names(cfg) -> tuple:
-    return VOC_CLASSES if cfg["data"].get("classes") == "voc" \
-        else COCO_CLASSES
+    """data.classes: 'voc', an explicit name list/tuple (mmdet custom-
+    dataset parity — names absent from the list are DROPPED by
+    CocoDataset's category mapping), or unset -> COCO."""
+    c = cfg["data"].get("classes")
+    if c == "voc":
+        return VOC_CLASSES
+    if isinstance(c, (list, tuple)) and c:
+        return tuple(c)
+    return COCO_CLASSES
 
 
 def dino_config(cfg) -> DinoConfig:
