@@ -45,9 +45,11 @@ _TPU_LOCK = "/tmp/sdt_tpu.lock"
 
 
 @contextlib.contextmanager
-def _tpu_lock(max_wait_s: int = 1800):
+def _tpu_lock(max_wait_s: int = 3000):
     """Bounded-wait exclusive lock; proceeds anyway after max_wait_s
-    (the bench must always emit its line, even if a sweep run hangs)."""
+    (the bench must always emit its line, even if a sweep run hangs).
+    The bound exceeds a sweep step's 2700 s timeout so a legitimately
+    held lock is always outwaited, never raced."""
     import fcntl
     f = open(_TPU_LOCK, "w")
     deadline = time.monotonic() + max_wait_s

@@ -40,6 +40,11 @@ def write_synthetic_coco(root: str, n: int = 8,
     # original red so old fixtures render identically
     palette = [(220, 60, 60), (60, 220, 60), (60, 60, 220),
                (220, 220, 60), (220, 60, 220), (60, 220, 220)]
+    if n_classes > len(palette):
+        # color IS the class signal — aliasing colors would make the
+        # classification task silently unlearnable
+        raise ValueError(
+            f"n_classes={n_classes} > {len(palette)} distinct colors")
     images, anns = [], []
     aid = 0
     for i in range(1, n + 1):

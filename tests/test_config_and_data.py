@@ -318,12 +318,12 @@ def test_write_synthetic_coco_multiobject(tmp_path):
     assert d1["categories"] == [{"id": 1, "name": "person"}]
 
 
-def test_class_names_custom_list():
+def test_class_names_custom_list(monkeypatch):
     """data.classes: explicit name list (mmdet custom-dataset parity),
-    'voc' keyword, or unset -> COCO80 (tools/common.py:class_names)."""
+    'voc' keyword, or unset -> COCO80; empty list raises
+    (tools/common.py:class_names)."""
     import os
-    import sys
-    sys.path.insert(0, os.path.join(os.path.dirname(
+    monkeypatch.syspath_prepend(os.path.join(os.path.dirname(
         os.path.dirname(os.path.abspath(__file__))), "tools"))
     from common import COCO_CLASSES, VOC_CLASSES, class_names
 
@@ -332,3 +332,5 @@ def test_class_names_custom_list():
     assert class_names(
         {"data": {"classes": ["person", "class1", "class2"]}}) \
         == ("person", "class1", "class2")
+    with pytest.raises(ValueError):
+        class_names({"data": {"classes": []}})

@@ -29,10 +29,17 @@ def compile_once(n_enc: int, n_dec: int, d_model: int, hw, fresh: bool):
     each measurement is a cold XLA compile.
     """
     import subprocess
+    # pin the platform ONLY when the caller pinned it (the axon
+    # sitecustomize otherwise overrides JAX_PLATFORMS); unset -> jax
+    # auto-detects (TPU on a chip VM), and the child prints the backend
+    pin = (f'jax.config.update("jax_platforms", '
+           f'{os.environ["JAX_PLATFORMS"]!r})'
+           if os.environ.get("JAX_PLATFORMS") else "pass")
     code = f"""
 import time, jax, jax.numpy as jnp
-jax.config.update("jax_platforms", "{os.environ.get('JAX_PLATFORMS', 'cpu')}")
+{pin}
 import sys; sys.path.insert(0, {os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))!r})
+print("BACKEND", jax.default_backend())
 from semi_detr_tpu.models.dino_head import DinoConfig, DINODetector
 cfg = DinoConfig(num_classes=80, num_queries=100, d_model={d_model},
                  n_heads=8, num_encoder_layers={n_enc},
@@ -50,12 +57,24 @@ print("COMPILE_S", time.perf_counter() - t0)
     env = dict(os.environ)
     if fresh:
         env.pop("JAX_COMPILATION_CACHE_DIR", None)
-    out = subprocess.run([sys.executable, "-c", code], env=env,
-                         capture_output=True, text=True, timeout=3600)
+    # serialize with other TPU clients (bench.py / sweep_on_chip.sh):
+    # two concurrent axon clients can wedge the loopback relay
+    import fcntl
+    with open("/tmp/sdt_tpu.lock", "w") as lock:
+        fcntl.flock(lock, fcntl.LOCK_EX)
+        out = subprocess.run([sys.executable, "-c", code], env=env,
+                             capture_output=True, text=True, timeout=3600)
+    backend = None
+    t = None
     for line in out.stdout.splitlines():
+        if line.startswith("BACKEND"):
+            backend = line.split()[1]
         if line.startswith("COMPILE_S"):
-            return float(line.split()[1])
-    raise RuntimeError(out.stdout[-1000:] + out.stderr[-1000:])
+            t = float(line.split()[1])
+    if t is None:
+        raise RuntimeError(out.stdout[-1000:] + out.stderr[-1000:])
+    compile_once.backend = backend
+    return t
 
 
 def main():
@@ -87,6 +106,7 @@ def main():
         results["enc6_dec2"] / results["enc1_dec2"], 2)
     results["dec_depth_ratio_6v2"] = round(
         results["enc1_dec6"] / results["enc1_dec2"], 2)
+    results["backend"] = getattr(compile_once, "backend", None)
     print(json.dumps(results))
 
 

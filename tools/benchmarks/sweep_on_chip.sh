@@ -66,6 +66,11 @@ run python tools/benchmarks/train_step_bench.py --batch 4 --steps 5 --donate
 #     encoder/decoder/NMS/Hungarian/optimizer shares)
 run python tools/benchmarks/train_step_bench.py --ssod --steps 3 \
   --profile /tmp/ssod_trace
-# 11. the driver metric
-run python bench.py
+# 11. the driver metric — NO flock wrapper: bench.py takes the same
+# lock internally (a wrapper's held lock would self-block it; flock is
+# per open-file-description). Sequential here, so no other sweep step
+# can race it.
+echo "=== python bench.py ($(date +%H:%M:%S))" >> "$LOG"
+timeout 2700 python bench.py >> "$LOG" 2>&1
+echo "=== exit $? ===" >> "$LOG"
 echo "[sweep] done at $(date)" | tee -a "$LOG"

@@ -63,7 +63,11 @@ def class_names(cfg) -> tuple:
     c = cfg["data"].get("classes")
     if c == "voc":
         return VOC_CLASSES
-    if isinstance(c, (list, tuple)) and c:
+    if isinstance(c, (list, tuple)):
+        if not c:
+            # an empty list is a config bug (e.g. broken templating);
+            # falling back to COCO80 would silently remap categories
+            raise ValueError("data.classes is an empty list")
         return tuple(c)
     return COCO_CLASSES
 
