@@ -53,8 +53,17 @@ def main():
             template, load_warm_start(src, scfg.dino.n_heads), ssod=True)
         use_nms = False
     else:
-        ckpt = CheckpointManager(src or cfg["work_dir"] + "/ckpt")
-        state = ckpt.restore(template)
+        # a specific step dir (ckpt/4000) works like the reference's
+        # iter_4000.pth: restore exactly that step from the parent root
+        import os
+        step = None
+        root = src or cfg["work_dir"] + "/ckpt"
+        base = os.path.basename(os.path.normpath(root))
+        if base.isdigit():
+            step = int(base)
+            root = os.path.dirname(os.path.normpath(root))
+        ckpt = CheckpointManager(root)
+        state = ckpt.restore(template, step=step)
         use_nms = int(state.step) < scfg.warm_up_step
 
     params = (state.teacher_params if args.inference_on == "teacher"
