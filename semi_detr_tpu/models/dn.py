@@ -100,6 +100,25 @@ def cdn_attn_mask(single_pad, groups, num_queries: int,
                            num_queries)
 
 
+def compact_gt(boxes: jax.Array, labels: jax.Array, valid: jax.Array):
+    """Prefix-pack a scattered GT set: valid entries move to the front
+    (stable order), invalid slots are zeroed.
+
+    `build_cdn_queries` maps dn slots to gt indices as `s % single_pad_dyn`
+    with `single_pad_dyn = max(valid.sum(1))`, i.e. it assumes validity is
+    prefix-packed (dataset GT always is, `data/pipeline.py`). Filtered
+    pseudo-label sets (`dual_filter` keep masks) are scattered — compact
+    them first, or kept boxes at slot index >= single_pad_dyn silently
+    lose their dn slots (the reference compacts implicitly by rebuilding
+    dense per-image tensors, `dn_components.py:141-175`)."""
+    order = jnp.argsort(~valid, axis=1, stable=True)        # valid first
+    v = jnp.take_along_axis(valid, order, axis=1)
+    b = jnp.where(v[..., None],
+                  jnp.take_along_axis(boxes, order[..., None], axis=1), 0.0)
+    l = jnp.where(v, jnp.take_along_axis(labels, order, axis=1), 0)
+    return b, l, v
+
+
 def build_cdn_queries(rng: jax.Array, gt_boxes: jax.Array,
                       gt_labels: jax.Array, gt_valid: jax.Array,
                       label_enc: jax.Array, num_classes: int,
@@ -109,7 +128,7 @@ def build_cdn_queries(rng: jax.Array, gt_boxes: jax.Array,
     """Args:
       gt_boxes: (B, G, 4) normalized cxcywh.
       gt_labels: (B, G) int32 in [0, num_classes).
-      gt_valid: (B, G) bool.
+      gt_valid: (B, G) bool — must be PREFIX-PACKED (see `compact_gt`).
       label_enc: (dn_labelbook_size+1, C) embedding table.
       single_pad, groups: STATIC capacity spec — the slot budget is
         2*single_pad*groups (= the reference's 2*dn_number); the actual

@@ -256,6 +256,9 @@ def combined_attn_mask(cons_pad: int, cons_groups: int, dn_single_pad,
     from .dn import dn_slot_groups, front_attn_mask
     if dn_capacity is None:
         dn_capacity = 2 * int(dn_single_pad) * int(dn_groups)
+    # a non-divisible cons_pad would give the trailing consistency slots
+    # group id == cons_groups — dn group 0's shifted id (attention leak)
+    assert cons_pad % cons_groups == 0, (cons_pad, cons_groups)
     sp1 = cons_pad // cons_groups
     cons_group = jnp.arange(cons_pad) // sp1               # [0, cons_groups)
     dn_group = cons_groups + dn_slot_groups(dn_single_pad, dn_groups,

@@ -24,7 +24,7 @@ import optax
 
 from ..models.criterion import detection_loss
 from ..models.dino_head import DINODetector
-from ..models.dn import build_cdn_queries, cdn_attn_mask
+from ..models.dn import build_cdn_queries, cdn_attn_mask, compact_gt
 from ..models.ssod import (Projector, SsodConfig, combined_attn_mask,
                            consistency_loss, consistency_positions,
                            decode_pseudo_labels, dual_filter,
@@ -76,11 +76,13 @@ def _unsup_forward_and_loss(detector: DINODetector, projector: Projector,
     keep_sup, keep_cons = dual_filter(costs, pl.scores, pl.valid, gmm_thr,
                                       cfg.score_thr)
 
-    unsup_gt = {
-        "boxes": jnp.where(keep_sup[..., None], pl_norm_s, 0.0),
-        "labels": jnp.where(keep_sup, pl.labels, 0),
-        "valid": keep_sup,
-    }
+    # prefix-pack the kept set: dual_filter masks are scattered over the
+    # pseudo slots, but the cdn slot->gt layout (and nothing else — the
+    # matching losses are permutation-invariant) requires packed validity
+    sup_boxes, sup_labels, sup_valid = compact_gt(pl_norm_s, pl.labels,
+                                                  keep_sup)
+    unsup_gt = {"boxes": sup_boxes, "labels": sup_labels,
+                "valid": sup_valid}
 
     # ---- CDN (v1, student view) on the supervision set
     cdn = build_cdn_queries(
@@ -137,9 +139,10 @@ def _unsup_forward_and_loss(detector: DINODetector, projector: Projector,
         # ---- teacher consistency forward (v2): same content queries,
         # teacher-frame positions, CDN from teacher-frame boxes (:446-456)
         pl_norm_t = normalize_boxes(pl.boxes_t, un["teacher_hw"])
+        t_boxes, t_labels, t_valid = compact_gt(pl_norm_t, pl.labels,
+                                                keep_cons)
         cdn2 = build_cdn_queries(
-            rng_dn2, jnp.where(keep_cons[..., None], pl_norm_t, 0.0),
-            jnp.where(keep_cons, pl.labels, 0), keep_cons,
+            rng_dn2, t_boxes, t_labels, t_valid,
             jax.lax.stop_gradient(params["detector"]["label_enc"]),
             c.num_classes, c.dn_single_pad, c.dn_groups,
             c.dn_label_noise_ratio, c.dn_box_noise_scale)

@@ -154,13 +154,6 @@ def _mha(sd, prefix: str, n_heads: int) -> Dict[str, Dict]:
     return out
 
 
-def _tree_stack(dicts):
-    """Stack a list of identical nested dicts along a new leading axis."""
-    if not isinstance(dicts[0], dict):
-        return np.stack([np.asarray(d) for d in dicts])
-    return {k: _tree_stack([d[k] for d in dicts]) for k in dicts[0]}
-
-
 def _count_layers(sd, pattern: str) -> int:
     n = 0
     while f"{pattern.format(n)}" in sd:
@@ -180,6 +173,8 @@ def convert_dino_detector(state_dict: Dict[str, Any],
     Returns {"params": ..., "batch_stats": ...} matching
     `models/dino_head.DINODetector`.
     """
+    import jax
+
     sd = {k: np.asarray(v) for k, v in state_dict.items()}
     bb_sd = {k[len("backbone."):]: v for k, v in sd.items()
              if k.startswith("backbone.")}
@@ -221,7 +216,8 @@ def convert_dino_detector(state_dict: Dict[str, Any],
             "linear2": _lin(sd, f"{p}.linear2"),
         })
     # the flax encoder is nn.scan'ed: leaves carry a leading layer axis
-    tr["enc"] = _tree_stack(enc_layers)
+    # (same stacking `checkpoint.migrate_scanned_encoder` applies)
+    tr["enc"] = jax.tree.map(lambda *xs: np.stack(xs), *enc_layers)
     n_dec = _count_layers(sd, t + ".decoder.layers.{}.norm1.weight")
     for i in range(n_dec):
         p = f"{t}.decoder.layers.{i}"
@@ -327,6 +323,8 @@ def export_dino_detector(variables: Dict[str, Any],
     materialized at every index, as torch state_dict() does for aliased
     ModuleList entries).
     """
+    import jax
+
     p = variables["params"]
     stats = variables.get("batch_stats", {}).get("backbone", {})
     sd: Dict[str, np.ndarray] = {}
@@ -414,13 +412,9 @@ def export_dino_detector(variables: Dict[str, Any],
     enc = tr["enc"]
     n_enc = np.asarray(enc["norm1"]["scale"]).shape[0]
 
-    def _slice(d, i):
-        if not isinstance(d, dict):
-            return np.asarray(d)[i]
-        return {k: _slice(v, i) for k, v in d.items()}
-
     for i in range(n_enc):
-        lp, node = f"{t}.encoder.layers.{i}", _slice(enc, i)
+        lp = f"{t}.encoder.layers.{i}"
+        node = jax.tree.map(lambda x: np.asarray(x)[i], enc)
         put_msda(f"{lp}.self_attn", node["self_attn"])
         put_norm(f"{lp}.norm1", node["norm1"])
         put_norm(f"{lp}.norm2", node["norm2"])

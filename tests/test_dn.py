@@ -223,3 +223,47 @@ def test_dn_inactive_slots_zero_weight():
     for k in out_a:
         np.testing.assert_allclose(float(out_a[k]), float(out_b[k]),
                                    rtol=1e-6, err_msg=k)
+
+
+def test_compact_gt_covers_scattered_filtered_sets():
+    """Filtered pseudo-label keep masks are scattered; compact_gt must
+    prefix-pack them so EVERY kept gt owns dn slots (the slot->gt map is
+    `s % single_pad_dyn` — a kept box at slot >= single_pad_dyn would
+    silently lose dn supervision without compaction)."""
+    from semi_detr_tpu.models.dn import compact_gt
+
+    boxes = jnp.asarray(
+        np.stack([np.full((4,), 0.1 * (i + 1), np.float32)
+                  for i in range(4)])[None])              # (1, 4, 4)
+    labels = jnp.asarray([[0, 1, 2, 3]], jnp.int32)
+    valid = jnp.asarray([[False, True, False, True]])
+
+    b, l, v = compact_gt(boxes, labels, valid)
+    # packed: kept entries 1 and 3 at the front, stable order
+    assert np.asarray(v).tolist() == [[True, True, False, False]]
+    np.testing.assert_allclose(np.asarray(b)[0, 0], 0.2)
+    np.testing.assert_allclose(np.asarray(b)[0, 1], 0.4)
+    assert np.asarray(l)[0, :2].tolist() == [1, 3]
+    # invalid tail zeroed
+    assert (np.asarray(b)[0, 2:] == 0).all()
+
+    # end-to-end: after compaction the adaptive layout covers both kept
+    # gts (single_pad_dyn == 2); with the raw scattered mask it would
+    # have covered gt index {0, 1} -> only original gt 1
+    label_enc = jnp.asarray(np.random.RandomState(0)
+                            .randn(6, C).astype(np.float32))
+    cdn = build_cdn_queries(jax.random.PRNGKey(0), b, l, v, label_enc,
+                            4, single_pad=4, groups=2)
+    assert int(cdn.single_pad) == 2
+    covered = set(np.asarray(cdn.gt_idx)[np.asarray(cdn.slot_active)
+                                         & np.asarray(cdn.slot_valid)[0]]
+                  .tolist())
+    assert covered == {0, 1}  # == original kept gts {1, 3} after packing
+
+    # already-packed input is a no-op (the supervised path is unchanged)
+    pb, plb, pv = compact_gt(boxes, labels,
+                             jnp.asarray([[True, True, False, False]]))
+    np.testing.assert_array_equal(np.asarray(pv),
+                                  [[True, True, False, False]])
+    np.testing.assert_allclose(np.asarray(pb)[0, :2],
+                               np.asarray(boxes)[0, :2])

@@ -75,24 +75,16 @@ def main():
     step = make_supervised_train_step(model, tx, warm_up=False,
                                   donate=args.donate)
 
-    t0 = time.time()
-    state, metrics = step(state, batch, rng)
-    total = float(metrics["total_loss"])
-    print(f"first step (compile): {time.time() - t0:.1f}s, "
-          f"loss {total:.3f}")
+    # same timing harness as the SSOD branch / driver bench.py, so the
+    # supervised and SSOD numbers can never drift on sync semantics
+    from semi_detr_tpu.train.bench import timed_steps
 
+    med, _, _, compile_s = timed_steps(step, state, batch, rng,
+                                       iters=args.steps,
+                                       profile=args.profile)
+    print(f"first step (compile): {compile_s:.1f}s")
     if args.profile:
-        jax.profiler.start_trace(args.profile)
-    ts = []
-    for _ in range(args.steps):
-        t0 = time.time()
-        state, metrics = step(state, batch, rng)
-        _ = float(metrics["total_loss"])
-        ts.append(time.time() - t0)
-    if args.profile:
-        jax.profiler.stop_trace()
         print(f"trace written to {args.profile}")
-    med = sorted(ts)[len(ts) // 2]
     print(f"steady-state: {med * 1000:.0f} ms/step "
           f"-> {b / med:.2f} img/s/chip (bs{b}, {h}x{w})")
 

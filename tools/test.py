@@ -54,12 +54,15 @@ def main():
         use_nms = False
     else:
         # a specific step dir (ckpt/4000) works like the reference's
-        # iter_4000.pth: restore exactly that step from the parent root
+        # iter_4000.pth: restore exactly that step from the parent root.
+        # Only an actual orbax step dir (marker file present) is stripped —
+        # a run ROOT that happens to be named numerically is left alone.
         import os
         step = None
         root = src or cfg["work_dir"] + "/ckpt"
         base = os.path.basename(os.path.normpath(root))
-        if base.isdigit():
+        if base.isdigit() and os.path.exists(
+                os.path.join(root, "_CHECKPOINT_METADATA")):
             step = int(base)
             root = os.path.dirname(os.path.normpath(root))
         ckpt = CheckpointManager(root)
