@@ -62,9 +62,18 @@ def _layer_loss(cls_scores, bbox_preds, gt, warm_up: bool, num_classes: int,
         reg_avg = jnp.maximum(
             _pmean(tg.bbox_weights[..., 0].sum(), axis_name), 1.0)
     else:
-        # cls_avg is deliberately NOT pmean'd while reg_avg is: the
-        # reference defaults sync_cls_avg_factor=False (dino_detr_head.py
-        # :83,122) but always reduce_means the regression factor (:700-704)
+        # avg-factor semantics: the reference defaults
+        # sync_cls_avg_factor=False (dino_detr_head.py:83,122 — cls
+        # normalized by the PER-GPU positive count, a DDP artifact that
+        # ties the cls scale to device count) but always reduce_means the
+        # regression factor (:700-704). Under shard_map (axis_name set)
+        # the un-pmean'd cls_avg reproduces that per-shard artifact
+        # exactly. The live path, though, is jit+sharding with
+        # axis_name=None: num_total_pos is then the GLOBAL positive count
+        # for BOTH factors — i.e. sync_cls_avg_factor=True /
+        # official-DETR semantics. Deliberate deviation: device-count
+        # invariant, and equal in expectation to the reference's per-GPU
+        # normalization at its published batch.
         cls_avg = jnp.maximum(num_total_pos, 1.0)
         out[f"{prefix}loss_cls"] = CLS_W * losses.sigmoid_focal_loss(
             cls_scores, tg.labels, tg.label_weights, cls_avg, num_classes)

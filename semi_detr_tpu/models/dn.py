@@ -100,7 +100,15 @@ def cdn_attn_mask(single_pad, groups, num_queries: int,
                            num_queries)
 
 
-def compact_gt(boxes: jax.Array, labels: jax.Array, valid: jax.Array):
+def pack_order(valid: jax.Array) -> jax.Array:
+    """Stable valid-first permutation — THE packing order used everywhere
+    a scattered mask must become prefix-packed (compact_gt here, the
+    consistency payloads in `train/ssod.py`)."""
+    return jnp.argsort(~valid, axis=1, stable=True)
+
+
+def compact_gt(boxes: jax.Array, labels: jax.Array, valid: jax.Array,
+               order: Optional[jax.Array] = None):
     """Prefix-pack a scattered GT set: valid entries move to the front
     (stable order), invalid slots are zeroed.
 
@@ -110,8 +118,12 @@ def compact_gt(boxes: jax.Array, labels: jax.Array, valid: jax.Array):
     pseudo-label sets (`dual_filter` keep masks) are scattered — compact
     them first, or kept boxes at slot index >= single_pad_dyn silently
     lose their dn slots (the reference compacts implicitly by rebuilding
-    dense per-image tensors, `dn_components.py:141-175`)."""
-    order = jnp.argsort(~valid, axis=1, stable=True)        # valid first
+    dense per-image tensors, `dn_components.py:141-175`).
+
+    `order`: optional precomputed `pack_order(valid)` (callers that also
+    pack other payloads by the same mask can share one argsort)."""
+    if order is None:
+        order = pack_order(valid)
     v = jnp.take_along_axis(valid, order, axis=1)
     b = jnp.where(v[..., None],
                   jnp.take_along_axis(boxes, order[..., None], axis=1), 0.0)

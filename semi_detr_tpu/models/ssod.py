@@ -228,20 +228,53 @@ def dual_filter(costs, scores, valid, gmm_thr, score_thr: float):
 # consistency query construction (reference prepare_unsup_cdn, :484-760)
 # --------------------------------------------------------------------------
 
-def consistency_positions(boxes_xyxy_abs, img_hw, valid,
-                          cfg: SsodConfig):
-    """(B, P, 4) abs boxes -> (B, cons_pad, 4) unsigmoided positions:
-    normalized cxcywh clamped to [0,1], tiled over cons_groups; invalid
-    slots zero."""
-    norm = jnp.clip(normalize_boxes(boxes_xyxy_abs, img_hw), 0.0, 1.0)
-    pos = inverse_sigmoid(norm)
-    pos = jnp.where(valid[..., None], pos, 0.0)
-    return jnp.tile(pos, (1, cfg.cons_groups, 1))
+def consistency_partition(packed_valid, cons_groups: int, capacity: int):
+    """Adaptive consistency-group size inside the static slot budget,
+    mirroring the reference's `single_pad_1 = int(max(known_num))`
+    (dino_detr_ssod.py:537) the same way `dn.build_cdn_queries` treats
+    the CDN partition: group size is the batch max kept count (traced),
+    group COUNT stays `cons_groups` (the reference's fixed
+    dn_number_1=5), and slots past `cons_groups * single_pad_dyn` are
+    inactive. This keeps the padded-slot attention exposure of real
+    queries at the reference level (<= single_pad_dyn - count_i zero
+    slots per group) instead of the full static capacity.
+
+    packed_valid: (B, P) PREFIX-PACKED kept mask (see `dn.compact_gt`).
+    Returns (single_pad_dyn (), slot_idx (capacity,) slot -> packed
+    pseudo index, slot_weights (B, capacity) bool)."""
+    counts = packed_valid.sum(axis=1)
+    sp_dyn = jnp.clip(jnp.max(counts), 1, capacity // cons_groups)
+    s = jnp.arange(capacity)
+    slot_idx = s % sp_dyn
+    active = s < cons_groups * sp_dyn
+    slot_w = jnp.take(packed_valid, slot_idx, axis=1) & active[None]
+    return sp_dyn, slot_idx, slot_w
+
+
+def scatter_to_slots(packed, slot_idx, slot_weights):
+    """Lay out packed per-pseudo rows (B, P, ...) into the adaptive
+    consistency slot layout (B, capacity, ...): slot s takes packed row
+    `slot_idx[s]`, weight-0 slots zero. The ONE place the slot layout is
+    materialized — positions and content both go through it."""
+    slots = jnp.take(packed, slot_idx, axis=1)
+    w = slot_weights.reshape(slot_weights.shape
+                             + (1,) * (packed.ndim - 2))
+    return jnp.where(w, slots, 0.0)
+
+
+def consistency_positions(packed_boxes_xyxy_abs, img_hw, slot_weights,
+                          slot_idx):
+    """(B, P, 4) PACKED abs boxes -> (B, cons_pad, 4) unsigmoided
+    positions laid out by the adaptive partition; weight-0 slots zero
+    (= the reference's zero padding_bbox, sigmoid -> center box)."""
+    norm = jnp.clip(normalize_boxes(packed_boxes_xyxy_abs, img_hw),
+                    0.0, 1.0)
+    return scatter_to_slots(inverse_sigmoid(norm), slot_idx, slot_weights)
 
 
 def combined_attn_mask(cons_pad: int, cons_groups: int, dn_single_pad,
                        dn_groups, num_queries: int,
-                       dn_capacity: int = None):
+                       dn_capacity: int = None, cons_single_pad=None):
     """[consistency | dn | matching] self-attention mask, True = BLOCKED
     (reference :722-743): each consistency group and each dn pos/neg
     group sees only itself among the front blocks; matching sees only
@@ -252,15 +285,26 @@ def combined_attn_mask(cons_pad: int, cons_groups: int, dn_single_pad,
     the supervised/dn mask uses — shifted past the consistency group ids.
     `dn_single_pad`/`dn_groups` may be traced scalars, with `dn_capacity`
     the static dn slot count (defaults to 2*dn_single_pad*dn_groups for
-    int args); inactive dn slots get unique group ids (isolated)."""
+    int args); inactive dn slots get unique group ids (isolated).
+
+    `cons_single_pad`: traced adaptive consistency group size from
+    `consistency_partition`; slots past cons_groups*cons_single_pad get
+    unique isolated ids. None = the static cons_pad//cons_groups layout."""
     from .dn import dn_slot_groups, front_attn_mask
     if dn_capacity is None:
         dn_capacity = 2 * int(dn_single_pad) * int(dn_groups)
-    # a non-divisible cons_pad would give the trailing consistency slots
-    # group id == cons_groups — dn group 0's shifted id (attention leak)
-    assert cons_pad % cons_groups == 0, (cons_pad, cons_groups)
-    sp1 = cons_pad // cons_groups
-    cons_group = jnp.arange(cons_pad) // sp1               # [0, cons_groups)
+    if cons_single_pad is None:
+        # a non-divisible cons_pad would give the trailing consistency
+        # slots group id == cons_groups — dn group 0's shifted id (leak)
+        assert cons_pad % cons_groups == 0, (cons_pad, cons_groups)
+        cons_group = jnp.arange(cons_pad) // (cons_pad // cons_groups)
+    else:
+        s = jnp.arange(cons_pad)
+        chunk = s // cons_single_pad
+        # inactive ids start past every possible shifted dn id
+        # (dn ids < groups_dyn + dn_capacity <= 1.5 * dn_capacity)
+        iso = cons_groups + 2 * dn_capacity + s
+        cons_group = jnp.where(chunk < cons_groups, chunk, iso)
     dn_group = cons_groups + dn_slot_groups(dn_single_pad, dn_groups,
                                             dn_capacity)
     return front_attn_mask(jnp.concatenate([cons_group, dn_group]),
@@ -272,13 +316,15 @@ def consistency_loss(hs_student, hs_teacher, cons_weights, cons_counts,
     """Per-decoder-layer MSE of L2-normalized consistency embeddings,
     teacher detached, x10 (reference :472-481).
 
-    hs_*: (n_dec, B, cons_pad, C); cons_weights: (B, P) slot weights;
-    cons_counts: (B,) number of 'known' slots per image (>=1 — the
-    reference injects a weight-0 fallback slot into empty images, which
-    enters the loss denominator).
+    hs_*: (n_dec, B, cons_pad, C); cons_weights: (B, cons_pad) per-slot
+    weights (from `consistency_partition`); cons_counts: (B,) number of
+    'known' slots per image (>=1 — the reference injects a weight-0
+    fallback slot into empty images, which enters the loss denominator).
     """
     n_dec, b, _, c = hs_student.shape
-    w = jnp.tile(cons_weights, (1, cfg.cons_groups))      # (B, cons_pad)
+    # f32 weights promote the squared error + its full-tensor sum to f32
+    # even when hs is bf16 (loss-facing outputs stay f32 repo-wide)
+    w = cons_weights.astype(jnp.float32)                  # (B, cons_pad)
     denom = (cons_counts.sum() * cfg.cons_groups * c).astype(jnp.float32)
     denom = jnp.maximum(denom, 1.0)
 

@@ -24,11 +24,14 @@ import optax
 
 from ..models.criterion import detection_loss
 from ..models.dino_head import DINODetector
-from ..models.dn import build_cdn_queries, cdn_attn_mask, compact_gt
+from ..models.dn import (build_cdn_queries, cdn_attn_mask, compact_gt,
+                         pack_order)
 from ..models.ssod import (Projector, SsodConfig, combined_attn_mask,
-                           consistency_loss, consistency_positions,
+                           consistency_loss, consistency_partition,
+                           consistency_positions,
                            decode_pseudo_labels, dual_filter,
                            normalize_boxes, pseudo_matching_costs,
+                           scatter_to_slots,
                            transform_pseudo_to_student)
 from ..ops.gmm import fit_gmm_threshold
 from ..ops.roi_align import multi_level_roi_align
@@ -104,15 +107,32 @@ def _unsup_forward_and_loss(detector: DINODetector, projector: Projector,
             roi.reshape(b * p, *roi.shape[2:]), keep_cons.reshape(-1))
         content = content.reshape(b, p, -1)
         content = jnp.where(keep_cons[..., None], content, 0.0)
-        content_tiled = jnp.tile(content, (1, cfg.cons_groups, 1))
 
-        pos_s = consistency_positions(pl.boxes_s, un["student_hw"],
-                                      keep_cons, cfg)
+        # pack the kept slots to the front (the same stable order
+        # compact_gt gives the teacher-view CDN) and size the consistency
+        # groups to the batch max kept count — the reference's
+        # single_pad_1 = max(known_num) (dino_detr_ssod.py:537), realized
+        # as traced content in the static cons_pad budget
+        order = pack_order(keep_cons)
+        packed_keep = jnp.take_along_axis(keep_cons, order, axis=1)
+        packed_content = jnp.take_along_axis(content, order[..., None],
+                                             axis=1)
+        packed_boxes_s = jnp.take_along_axis(pl.boxes_s, order[..., None],
+                                             axis=1)
+        packed_boxes_t = jnp.take_along_axis(pl.boxes_t, order[..., None],
+                                             axis=1)
+        cons_sp, slot_idx, slot_w = consistency_partition(
+            packed_keep, cfg.cons_groups, cfg.cons_pad)
+        content_slots = scatter_to_slots(packed_content, slot_idx, slot_w)
+
+        pos_s = consistency_positions(packed_boxes_s, un["student_hw"],
+                                      slot_w, slot_idx)
         attn_mask = combined_attn_mask(cfg.cons_pad, cfg.cons_groups,
                                        cdn.single_pad, cdn.groups,
                                        c.num_queries,
-                                       dn_capacity=c.dn_pad_size)
-        extra_tgt = jnp.concatenate([content_tiled, cdn.query_label], 1)
+                                       dn_capacity=c.dn_pad_size,
+                                       cons_single_pad=cons_sp)
+        extra_tgt = jnp.concatenate([content_slots, cdn.query_label], 1)
         extra_ref = jnp.concatenate([pos_s, cdn.query_bbox], 1)
     else:
         attn_mask = cdn_attn_mask(cdn.single_pad, cdn.groups,
@@ -140,23 +160,25 @@ def _unsup_forward_and_loss(detector: DINODetector, projector: Projector,
         # teacher-frame positions, CDN from teacher-frame boxes (:446-456)
         pl_norm_t = normalize_boxes(pl.boxes_t, un["teacher_hw"])
         t_boxes, t_labels, t_valid = compact_gt(pl_norm_t, pl.labels,
-                                                keep_cons)
+                                                keep_cons, order=order)
         cdn2 = build_cdn_queries(
             rng_dn2, t_boxes, t_labels, t_valid,
             jax.lax.stop_gradient(params["detector"]["label_enc"]),
             c.num_classes, c.dn_single_pad, c.dn_groups,
             c.dn_label_noise_ratio, c.dn_box_noise_scale)
-        pos_t = consistency_positions(pl.boxes_t, un["teacher_hw"],
-                                      keep_cons, cfg)
+        pos_t = consistency_positions(packed_boxes_t, un["teacher_hw"],
+                                      slot_w, slot_idx)
         # cdn2's adaptive partition can differ from cdn's (different
-        # filtered sets), so the teacher pass gets its own mask
+        # filtered sets), so the teacher pass gets its own mask; the
+        # consistency partition is shared (same keep_cons set)
         attn_mask2 = combined_attn_mask(cfg.cons_pad, cfg.cons_groups,
                                         cdn2.single_pad, cdn2.groups,
                                         c.num_queries,
-                                        dn_capacity=c.dn_pad_size)
+                                        dn_capacity=c.dn_pad_size,
+                                        cons_single_pad=cons_sp)
         t_out = detector.apply(
             teacher_vars, t_enc,
-            jnp.concatenate([jax.lax.stop_gradient(content_tiled),
+            jnp.concatenate([jax.lax.stop_gradient(content_slots),
                              cdn2.query_label], 1),
             jnp.concatenate([pos_t, cdn2.query_bbox], 1),
             attn_mask2, method=DINODetector.decode_queries)
@@ -164,8 +186,7 @@ def _unsup_forward_and_loss(detector: DINODetector, projector: Projector,
         cons_counts = jnp.maximum(keep_cons.sum(-1), 1)
         out_losses.update(consistency_loss(
             s_out["hs"][:, :, :n_cons], t_out["hs"][:, :, :n_cons],
-            keep_cons.astype(jnp.float32), cons_counts, cfg,
-            cfg.consistency_weight))
+            slot_w, cons_counts, cfg, cfg.consistency_weight))
 
     metrics = {
         "pseudo_per_img": pl.valid.sum() / pl.valid.shape[0],

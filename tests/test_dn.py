@@ -154,6 +154,32 @@ def test_combined_attn_mask_adaptive_dn_block():
     assert m[front:, :front].all() and not m[:front, front:].any()
 
 
+def test_combined_attn_mask_adaptive_consistency_block():
+    """Adaptive consistency partition (traced cons_single_pad): active
+    chunks isolated per group, slots past groups*single_pad fully
+    isolated, no id collision with any dn group."""
+    from semi_detr_tpu.models.ssod import combined_attn_mask
+    m = np.asarray(combined_attn_mask(6, 2, jnp.int32(2), jnp.int32(2), 4,
+                                      dn_capacity=12,
+                                      cons_single_pad=jnp.int32(2)))
+    front = 6 + 12
+    assert m.shape == (front + 4, front + 4)
+    # active consistency chunks [0:2), [2:4) see only themselves
+    assert not m[0:2, 0:2].any() and not m[2:4, 2:4].any()
+    assert m[0:2, 2:4].all() and m[2:4, 0:2].all()
+    # inactive consistency slots 4,5: isolated from everything active
+    for s in (4, 5):
+        row = m[s, :front].copy()
+        row[s] = True
+        assert row[np.arange(front) != s].all()
+        assert m[0:4, s].all() and m[6:front, s].all()
+    # consistency never collides with dn groups (active dn [6:10),[10:14))
+    assert m[0:4, 6:front].all() and m[6:14, 0:6].all()
+    assert not m[6:10, 6:10].any() and m[6:10, 10:14].all()
+    # matching blocked from the whole front, front sees matching
+    assert m[front:, :front].all() and not m[:front, front:].any()
+
+
 def test_dn_layer_loss_targets_adaptive_layout():
     """_dn_layer_loss x adaptive CdnBatch: positives reconstruct their GT,
     negatives are background-supervised, inactive slots and no-GT images

@@ -7,6 +7,7 @@ import jax
 import jax.numpy as jnp
 
 from semi_detr_tpu.models.ssod import (SsodConfig, consistency_loss,
+                                       consistency_partition,
                                        consistency_positions,
                                        decode_pseudo_labels,
                                        normalize_boxes,
@@ -71,17 +72,50 @@ def test_normalize_boxes():
                                      30 / 100], atol=1e-6)
 
 
+def test_consistency_partition_adaptive_layout():
+    """Adaptive group size = batch max kept count (reference
+    single_pad_1 = int(max(known_num)), dino_detr_ssod.py:537) inside
+    the static cons_pad budget."""
+    # batch kept counts [2, 1] (prefix-packed) -> single_pad_dyn = 2
+    packed = jnp.asarray([[True, True, False, False],
+                          [True, False, False, False]])
+    sp, slot_idx, slot_w = consistency_partition(packed, CFG.cons_groups,
+                                                 CFG.cons_pad)
+    assert int(sp) == 2
+    # slots cycle the packed prefix per group; active = groups * sp
+    np.testing.assert_array_equal(np.asarray(slot_idx),
+                                  [0, 1, 0, 1, 0, 1, 0, 1])
+    np.testing.assert_array_equal(
+        np.asarray(slot_w),
+        [[True, True, True, True, False, False, False, False],
+         [True, False, True, False, False, False, False, False]])
+
+    # full occupancy degenerates to the old static tiling
+    full = jnp.ones((1, CFG.max_pseudo), bool)
+    sp_f, idx_f, w_f = consistency_partition(full, CFG.cons_groups,
+                                             CFG.cons_pad)
+    assert int(sp_f) == CFG.max_pseudo
+    np.testing.assert_array_equal(
+        np.asarray(idx_f), np.tile(np.arange(CFG.max_pseudo),
+                                   CFG.cons_groups))
+    assert np.asarray(w_f).all()
+
+
 def test_consistency_positions_layout():
     boxes = jnp.zeros((1, CFG.max_pseudo, 4)).at[0, 0].set(
         jnp.asarray([20., 10., 60., 40.]))
     hw = jnp.asarray([[100, 200]])
     valid = jnp.zeros((1, CFG.max_pseudo), bool).at[0, 0].set(True)
-    pos = consistency_positions(boxes, hw, valid, CFG)
+    sp, slot_idx, slot_w = consistency_partition(valid, CFG.cons_groups,
+                                                 CFG.cons_pad)
+    assert int(sp) == 1                      # max kept count in batch
+    pos = consistency_positions(boxes, hw, slot_w, slot_idx)
     assert pos.shape == (1, CFG.cons_pad, 4)
     p = np.asarray(pos[0])
-    # groups tile the slots; invalid slots zero
-    np.testing.assert_allclose(p[0], p[CFG.max_pseudo], atol=1e-6)
-    np.testing.assert_allclose(p[1], 0.0)
+    # the kept box occupies one slot per group; inactive slots zero
+    np.testing.assert_allclose(p[0], p[1], atol=1e-6)
+    assert np.abs(p[0]).max() > 0
+    np.testing.assert_allclose(p[2:], 0.0)
 
 
 def test_consistency_loss_detach_and_weighting():
@@ -90,7 +124,8 @@ def test_consistency_loss_detach_and_weighting():
     rs = np.random.RandomState(0)
     hs_s = jnp.asarray(rs.randn(n_dec, b, pad, c).astype(np.float32))
     hs_t = jnp.asarray(rs.randn(n_dec, b, pad, c).astype(np.float32))
-    w = jnp.asarray([[1., 1., 0., 0.]], jnp.float32)  # 2 of 4 slots real
+    # per-slot weights over the full cons_pad (2 kept slots per group)
+    w = jnp.asarray([[1., 1., 0., 0.] * CFG.cons_groups], jnp.float32)
     counts = jnp.asarray([2])
     out = consistency_loss(hs_s, hs_t, w, counts, CFG, weight=10.0)
     assert set(out) == {"consis_loss.d0", "consis_loss.d1"}
