@@ -51,6 +51,26 @@ def make_inputs(rs, N, M, D, P, spatial_shapes, offset_px=4.0):
     return value, loc.astype(np.float32), attn
 
 
+def make_decoder_inputs(rs, N, Lq, M, D, P, spatial_shapes):
+    """Decoder-style cross-attention sampling: queries are conditioned on
+    reference BOXES at arbitrary positions (two-stage top-900 proposals +
+    dn/consistency slots), so each query's L*P points spread over its box
+    (DINOTransformerDecoderLayer cross-attn: loc = cxcy + off * wh / 2)."""
+    import numpy as np
+    L = len(spatial_shapes)
+    S = sum(hh * ww for hh, ww in spatial_shapes)
+    value = rs.randn(N, S, M, D).astype(np.float32)
+    cxcy = rs.rand(N, Lq, 2).astype(np.float32)
+    # box sizes: lognormal around ~10% of the image (COCO-like objects)
+    wh = np.exp(rs.randn(N, Lq, 2) * 0.7 - 2.2).clip(0.01, 1.0)
+    off = (rs.rand(N, Lq, M, L, P, 2).astype(np.float32) - 0.5)
+    loc = cxcy[:, :, None, None, None, :] + \
+        off * wh[:, :, None, None, None, :]
+    attn = rs.rand(N, Lq, M, L, P).astype(np.float32)
+    attn /= attn.sum((-1, -2), keepdims=True)
+    return value, np.clip(loc, 0.0, 1.0).astype(np.float32), attn
+
+
 def timeit(fn, iters, *args):
     import jax
     out = fn(*args)
@@ -81,6 +101,13 @@ def main():
     p.add_argument("--bf16-value", action="store_true",
                    help="cast the value slab to bf16 (enables the "
                         "SDT_PACKED_GATHER fwd path when set)")
+    p.add_argument("--decoder", action="store_true",
+                   help="decoder cross-attention scale: --lq box-"
+                        "conditioned queries through the sorted-query "
+                        "kernel path (+ unsorted and XLA A/Bs)")
+    p.add_argument("--lq", type=int, default=1260,
+                   help="decoder query count (900 matching + 200 dn "
+                        "+ 160 consistency slots at flagship warm-up)")
     args = p.parse_args()
 
     import jax
@@ -89,7 +116,8 @@ def main():
     import importlib
     xla_op = importlib.import_module("semi_detr_tpu.ops.ms_deform_attn")
     from semi_detr_tpu.ops.ms_deform_attn_pallas import (
-        ms_deform_attn_bwd_pallas, ms_deform_attn_pallas)
+        ms_deform_attn_bwd_pallas, ms_deform_attn_fused,
+        ms_deform_attn_pallas, ms_deform_attn_sorted)
 
     shapes = encoder_shapes(args.h, args.w)
     S = sum(hh * ww for hh, ww in shapes)
@@ -97,6 +125,45 @@ def main():
           f"D={args.dim} P={args.points} backend={jax.default_backend()}")
 
     rs = np.random.RandomState(0)
+
+    if args.decoder:
+        value, loc, attn = make_decoder_inputs(
+            rs, args.batch, args.lq, args.heads, args.dim, args.points,
+            shapes)
+        value, loc, attn = map(jnp.asarray, (value, loc, attn))
+        if args.bf16_value:
+            value = value.astype(jnp.bfloat16)
+        g = jnp.asarray(rs.randn(args.batch, args.lq,
+                                 args.heads * args.dim).astype(np.float32))
+        print(f"decoder Lq={args.lq}")
+        srt = jax.jit(lambda v, l, a: ms_deform_attn_sorted(v, shapes, l, a))
+        t = timeit(srt, args.iters, value, loc, attn)
+        print(f"sorted fwd  : {t * 1e3:8.2f} ms")
+        uns = jax.jit(
+            lambda v, l, a: ms_deform_attn_fused(v, shapes, l, a))
+        t = timeit(uns, args.iters, value, loc, attn)
+        print(f"unsorted fwd: {t * 1e3:8.2f} ms")
+
+        def srt_bwd(v, l, a, ct):
+            _, vjp = jax.vjp(
+                lambda vv, ll, aa: ms_deform_attn_sorted(vv, shapes, ll,
+                                                         aa), v, l, a)
+            return vjp(ct)
+        t = timeit(jax.jit(srt_bwd), args.iters, value, loc, attn, g)
+        print(f"sorted bwd  : {t * 1e3:8.2f} ms (full vjp incl. permute)")
+        if not args.skip_xla:
+            xf = jax.jit(lambda v, l, a: xla_op.ms_deform_attn(
+                v, shapes, l, a))
+            t = timeit(xf, max(1, args.iters // 3), value, loc, attn)
+            print(f"xla fwd     : {t * 1e3:8.2f} ms")
+        if not args.skip_parity:
+            ref = xla_op.ms_deform_attn(value.astype(jnp.float32), shapes,
+                                        loc, attn)
+            got = srt(value, loc, attn)
+            print(f"sorted fwd parity max err: "
+                  f"{float(jnp.max(jnp.abs(ref - got))):.2e}")
+        return
+
     value, loc, attn = make_inputs(rs, args.batch, args.heads, args.dim,
                                    args.points, shapes, args.offset_px)
     value, loc, attn = map(jnp.asarray, (value, loc, attn))

@@ -51,6 +51,9 @@ run env SDT_PACKED_GATHER=1 python \
 # parity in tests/test_ms_deform_attn_pallas.py)
 run env SDT_BWD_C_BF16=1 python \
   tools/benchmarks/attn_kernel_bench.py --iters 5 --skip-xla --skip-parity
+# 4c. decoder cross-attn scale (sorted-query path, VERDICT weak #2):
+#     sorted-vs-unsorted-vs-XLA fwd, full-vjp bwd, parity
+run python tools/benchmarks/attn_kernel_bench.py --decoder --iters 5
 # 5. in-graph Hungarian attribution (post-warm-up serial suspect)
 run python tools/benchmarks/hungarian_bench.py
 # 6. flagship supervised train step (both stages)
