@@ -123,6 +123,54 @@ def fsdp_sharding(mesh: Mesh, tree, axis: str = "data",
     return jax.tree.map(spec_for, tree)
 
 
+def tp_sharding(mesh: Mesh, tree, axis: str = "model", base=None):
+    """Megatron-style tensor-parallel shardings for the transformer FFNs
+    (encoder + decoder `linear1`/`linear2` pairs, the densest matmuls
+    outside deform-attn). Absent in the reference (DDP-only); TPU-native
+    scaling lever on a 2-D (data, model) mesh.
+
+    The expansion kernel/bias shard their OUTPUT (d_ffn) dim and the
+    contraction kernel its INPUT (d_ffn) dim over `axis`: XLA's SPMD
+    partitioner then keeps the hidden activation `axis`-sharded between
+    the two matmuls and inserts exactly one all-reduce after the
+    contraction — the Megatron FFN recipe, derived automatically from
+    the weight shardings. Everything else (deform-attn projections, the
+    Pallas kernel's operands, norms, heads) takes `base`'s spec for that
+    leaf (or replicates), so the rule composes with `fsdp_sharding`.
+
+    Path-keyed, so it applies identically to params, the EMA teacher,
+    and the Adam moments nested under opt_state. Works with the scanned
+    encoder's stacked leaves (leading layer dim) since dims are counted
+    from the END. Non-divisible dims fall back to `base`.
+    """
+    n = mesh.shape[axis]
+    repl = NamedSharding(mesh, P())
+
+    def spec_for(path, x, fallback):
+        keys = [str(getattr(k, "key", getattr(k, "name", k)))
+                for k in path]
+        shape = tuple(getattr(x, "shape", ()))
+        if not shape:
+            return fallback
+        if "linear1" in keys:                       # expansion: out dim
+            dim = len(shape) - 1
+        elif "linear2" in keys and keys[-1] == "kernel" and len(shape) >= 2:
+            dim = len(shape) - 2                    # contraction: in dim
+        else:
+            return fallback
+        if shape[dim] % n != 0:
+            return fallback
+        axes = [None] * len(shape)
+        axes[dim] = axis
+        return NamedSharding(mesh, P(*axes))
+
+    if base is None or isinstance(base, NamedSharding):
+        fb = base if base is not None else repl
+        return jax.tree_util.tree_map_with_path(
+            lambda p, x: spec_for(p, x, fb), tree)
+    return jax.tree_util.tree_map_with_path(spec_for, tree, base)
+
+
 def with_batch_constraint(tree, mesh: Mesh, axis: str = "data"):
     """Annotate intermediate activations as batch-sharded inside jit."""
     s = NamedSharding(mesh, P(axis))

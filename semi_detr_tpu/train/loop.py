@@ -28,7 +28,7 @@ from ..data.sampler import SemiBalanceSampler
 from ..models.dino_head import DinoConfig, DINODetector
 from ..models.inference import evaluate_teacher_and_student
 from ..models.ssod import Projector, SsodConfig
-from ..parallel import fsdp_sharding, make_mesh, shard_batch
+from ..parallel import fsdp_sharding, make_mesh, shard_batch, tp_sharding
 from ..utils.logging import (MetricsLogger, log_image_with_boxes,
                              weight_summary)
 from . import optim
@@ -36,6 +36,33 @@ from .checkpoint import CheckpointManager
 from .ssod import init_ssod_state, make_ssod_train_step
 from .state import TrainState
 from .supervised import make_supervised_train_step
+
+
+def _build_mesh(use_mesh: bool, tp: int = 1):
+    """1-D `data` mesh, or a 2-D (data, model) mesh when tensor
+    parallelism is requested (`tp` devices per model shard; the batch
+    stays sharded over `data` only)."""
+    n = len(jax.devices())
+    if not use_mesh or n <= 1:
+        assert tp <= 1, "tp>1 needs a multi-device mesh"
+        return None
+    if tp > 1:
+        assert n % tp == 0, (n, tp)
+        return make_mesh((n // tp, tp))
+    return make_mesh()
+
+
+def _state_sharding(mesh, state, fsdp: bool, tp: int = 1):
+    """Replicated / FSDP / TP / FSDP+TP state sharding tree (TP wins on
+    the FFN leaves it shards; everything else takes the base)."""
+    if mesh is None:
+        return None
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    base = (fsdp_sharding(mesh, state) if fsdp
+            else NamedSharding(mesh, P()))
+    if tp > 1:
+        return tp_sharding(mesh, state, base=base)
+    return base
 
 
 def _pad_indices(idx, n):
@@ -110,7 +137,7 @@ class SsodTrainer:
                  multi_bucket: bool = False,
                  epoch_length: int = 7330,
                  image_log_interval: int = 2000,
-                 fsdp: bool = False):
+                 fsdp: bool = False, tp: int = 1):
         self.cfg = cfg
         self.work_dir = work_dir
         # throttled pseudo-label render interval, 0 = off (reference
@@ -133,8 +160,7 @@ class SsodTrainer:
         self.projector = Projector(cfg.dino.d_model)
         # a 1-device mesh adds sharding machinery for no benefit (and the
         # axon TPU tunnel mishandles donated/sharded outputs) — plain jit
-        self.mesh = (make_mesh() if use_mesh and len(jax.devices()) > 1
-                     else None)
+        self.mesh = _build_mesh(use_mesh, tp)
 
         rng = jax.random.PRNGKey(seed)
         h, w = bucket
@@ -162,14 +188,9 @@ class SsodTrainer:
                     self.state,
                     load_warm_start(load_from, cfg.dino.n_heads),
                     ssod=True)
-        self.state_sharding = None
+        self.state_sharding = _state_sharding(self.mesh, self.state,
+                                              fsdp, tp)
         if self.mesh is not None:
-            from jax.sharding import NamedSharding, PartitionSpec as P
-            # fsdp: shard params/opt/teacher leaves over the data axis
-            # (ZeRO analog, parallel.fsdp_sharding) instead of replicating
-            self.state_sharding = (
-                fsdp_sharding(self.mesh, self.state) if fsdp
-                else NamedSharding(self.mesh, P()))
             self.state = jax.device_put(self.state, self.state_sharding)
         self._steps = {}
 
@@ -299,7 +320,7 @@ class SupervisedTrainer:
                  backbone_init: Optional[str] = None,
                  load_from: Optional[str] = None,
                  multi_bucket: bool = False,
-                 fsdp: bool = False):
+                 fsdp: bool = False, tp: int = 1):
         self.cfg = cfg
         self.multi_bucket = multi_bucket
         self.scales = scales
@@ -313,8 +334,7 @@ class SupervisedTrainer:
         self.seed = seed
 
         self.detector = DINODetector(cfg)
-        self.mesh = (make_mesh() if use_mesh and len(jax.devices()) > 1
-                     else None)
+        self.mesh = _build_mesh(use_mesh, tp)
 
         rng = jax.random.PRNGKey(seed)
         h, w = bucket
@@ -339,12 +359,9 @@ class SupervisedTrainer:
                 self.state = apply_warm_start(
                     self.state, load_warm_start(load_from, cfg.n_heads),
                     ssod=False)
-        self.state_sharding = None
+        self.state_sharding = _state_sharding(self.mesh, self.state,
+                                              fsdp, tp)
         if self.mesh is not None:
-            from jax.sharding import NamedSharding, PartitionSpec as P
-            self.state_sharding = (
-                fsdp_sharding(self.mesh, self.state) if fsdp
-                else NamedSharding(self.mesh, P()))
             self.state = jax.device_put(self.state, self.state_sharding)
         self._steps = {}
 

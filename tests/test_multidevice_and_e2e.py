@@ -118,6 +118,39 @@ def _mesh_equivalence_body():
     n_sharded = sum(
         int(s.spec != P()) for s in jax.tree.leaves(shards))
     assert n_sharded > 10, n_sharded
+
+    # TP leg: 2-D (data=4, model=2) mesh, Megatron-style FFN sharding
+    # (parallel.tp_sharding) — batch sharded over data only, FFN
+    # expansion/contraction kernels sharded over model; numerics must
+    # match the single-device step
+    from semi_detr_tpu.parallel import tp_sharding
+    mesh2 = make_mesh((4, 2), devices=jax.devices()[:8])
+    tp_shards = tp_sharding(mesh2, state0)
+    specs = {"/".join(str(getattr(k, "key", k)) for k in p): s.spec
+             for p, s in jax.tree_util.tree_flatten_with_path(tp_shards)[0]}
+    ffn_specs = [s for k, s in specs.items()
+                 if ("linear1" in k or "linear2" in k) and "detector" in k
+                 and k.endswith("kernel")]
+    assert ffn_specs and all(
+        any(ax == "model" for ax in s) for s in ffn_specs), specs
+    state_t = jax.device_put(state0, tp_shards)
+    stept = make_ssod_train_step(detector, projector, tx, cfg,
+                                 warm_up=True, mesh=mesh2,
+                                 state_sharding=tp_shards)
+    st, mt = stept(state_t, shard_batch(batch, mesh2), rng)
+    for key in ("total_loss", "grad_norm", "unsup_loss_cls", "gmm_thr"):
+        np.testing.assert_allclose(float(m1[key]), float(mt[key]),
+                                   rtol=2e-3, atol=1e-5, err_msg=key)
+    np.testing.assert_allclose(
+        np.asarray(s1.params["detector"]["label_enc"]),
+        np.asarray(jax.device_get(st.params["detector"]["label_enc"])),
+        rtol=1e-4, atol=1e-6)
+    # an FFN kernel updated under TP matches the single-device update
+    enc1 = s1.params["detector"]["transformer"]["enc"]["linear1"]["kernel"]
+    enct = st.params["detector"]["transformer"]["enc"]["linear1"]["kernel"]
+    np.testing.assert_allclose(np.asarray(enc1),
+                               np.asarray(jax.device_get(enct)),
+                               rtol=1e-4, atol=1e-6)
     print("MESH_EQUIV_OK")
 
 

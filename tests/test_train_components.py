@@ -245,3 +245,53 @@ def test_supervised_batch_stream_resume():
     for a, b in zip(full[6:], resumed):
         np.testing.assert_array_equal(a["images"], b["images"])
         np.testing.assert_array_equal(a["gt"]["boxes"], b["gt"]["boxes"])
+
+
+def test_tp_sharding_spec_rules():
+    """Megatron FFN rule (parallel.tp_sharding): linear1 kernel+bias shard
+    the d_ffn OUTPUT dim, linear2 kernel shards the d_ffn INPUT dim,
+    everything else takes the base spec; non-divisible dims fall back.
+    Path-keyed, so the rule hits the same leaves nested under opt_state."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from semi_detr_tpu.parallel import make_mesh, tp_sharding, fsdp_sharding
+
+    mesh = make_mesh((4, 2), devices=jax.devices()[:8])
+    params = {
+        "transformer": {
+            "enc": {  # scanned: leading layer dim
+                "linear1": {"kernel": jnp.zeros((6, 64, 128)),
+                            "bias": jnp.zeros((6, 128))},
+                "linear2": {"kernel": jnp.zeros((6, 128, 64)),
+                            "bias": jnp.zeros((6, 64))},
+                "norm1": {"scale": jnp.zeros((6, 64))},
+            },
+            "dec_0": {
+                "linear1": {"kernel": jnp.zeros((64, 128)),
+                            "bias": jnp.zeros((128,))},
+                "linear2": {"kernel": jnp.zeros((128, 63)),  # 63: odd out
+                            "bias": jnp.zeros((63,))},
+            },
+        },
+        "fc_cls": {"kernel": jnp.zeros((64, 7))},
+    }
+    tree = {"params": params, "mu": jax.tree.map(lambda x: x, params)}
+    sh = tp_sharding(mesh, tree)
+    for grp in ("params", "mu"):
+        enc = sh[grp]["transformer"]["enc"]
+        assert enc["linear1"]["kernel"].spec == P(None, None, "model")
+        assert enc["linear1"]["bias"].spec == P(None, "model")
+        assert enc["linear2"]["kernel"].spec == P(None, "model", None)
+        assert enc["linear2"]["bias"].spec == P()
+        assert enc["norm1"]["scale"].spec == P()
+        dec = sh[grp]["transformer"]["dec_0"]
+        assert dec["linear1"]["kernel"].spec == P(None, "model")
+        assert dec["linear2"]["kernel"].spec == P("model", None)
+        assert sh[grp]["fc_cls"]["kernel"].spec == P()
+
+    # composes with an FSDP base: TP wins on FFN leaves, base elsewhere
+    base = fsdp_sharding(mesh, tree, min_size=1)
+    sh2 = tp_sharding(mesh, tree, base=base)
+    assert sh2["params"]["transformer"]["enc"]["linear1"]["kernel"].spec \
+        == P(None, None, "model")
+    assert sh2["params"]["fc_cls"]["kernel"].spec == \
+        base["params"]["fc_cls"]["kernel"].spec

@@ -37,7 +37,8 @@ def main():
         backbone_init=cfg.get("backbone_init"),
         load_from=cfg.get("load_from"),
         multi_bucket=bool(cfg.get("multi_bucket", False)),
-        fsdp=bool(cfg.get("fsdp", False)))
+        fsdp=bool(cfg.get("fsdp", False)),
+        tp=int(cfg.get("tp", 1)))
     if args.resume_from:
         trainer.resume(args.resume_from)
     elif trainer.ckpt.latest_step() is not None:

@@ -48,7 +48,8 @@ def main():
         multi_bucket=bool(cfg.get("multi_bucket", False)),
         epoch_length=int(sched.get("epoch_length", 7330)),
         image_log_interval=int(cfg.get("image_log_interval", 2000)),
-        fsdp=bool(cfg.get("fsdp", False)))
+        fsdp=bool(cfg.get("fsdp", False)),
+        tp=int(cfg.get("tp", 1)))
     if args.resume_from:
         trainer.resume(args.resume_from)
     elif trainer.ckpt.latest_step() is not None:
