@@ -98,14 +98,27 @@ def make_predict_fn(detector: DINODetector, use_nms: bool = False,
 
 
 def run_eval(predict_fn, variables, batches: Iterable[Dict],
-             score_thr: float = 0.0) -> Dict[int, Tuple]:
+             score_thr: float = 0.0, mesh=None) -> Dict[int, Tuple]:
     """Run inference over batches (from data.pipeline.make_test_batch) and
     return {image_id: (boxes_orig_xyxy, scores, labels)} rescaled to the
-    ORIGINAL image frame (rescale=True)."""
+    ORIGINAL image frame (rescale=True).
+
+    mesh: shard each batch over the mesh's 'data' axis so periodic eval
+    uses the whole slice (the reference's `multi_gpu_test` sharding,
+    detr_od/apis/test.py:70-191; our outputs come back as global arrays,
+    so no result-collection collective is needed)."""
+    sharding = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        sharding = NamedSharding(mesh, P("data"))
     results = {}
     for batch in batches:
+        images, img_hw = batch["images"], batch["img_hw"]
+        if sharding is not None:
+            images = jax.device_put(images, sharding)
+            img_hw = jax.device_put(img_hw, sharding)
         boxes, scores, labels = jax.device_get(predict_fn(
-            variables, batch["images"], batch["img_hw"]))
+            variables, images, img_hw))
         sf = batch["scale_factors"]               # (B, 2) per-axis
         for i, img_id in enumerate(batch["image_ids"]):
             keep = scores[i] > score_thr
@@ -119,10 +132,18 @@ def evaluate_detector(detector: DINODetector, variables, dataset,
                       batch_size: int = 4, use_nms: bool = False,
                       bucket=(800, 1344), test_scale=None,
                       num_classes: int = 80,
-                      class_names=None) -> Dict[str, float]:
-    """Full COCO-mAP eval of one parameter set over a CocoDataset."""
+                      class_names=None, mesh=None) -> Dict[str, float]:
+    """Full COCO-mAP eval of one parameter set over a CocoDataset.
+
+    mesh: data-shard eval batches across the slice (batch_size rounds up
+    to a multiple of the data-axis size; the tail pads by repeating the
+    last image, whose duplicate results overwrite the same image_id)."""
     from ..data.coco_eval import coco_map
     from ..data.pipeline import make_test_batch
+
+    if mesh is not None:
+        n = mesh.shape["data"]
+        batch_size = -(-batch_size // n) * n
 
     predict = make_predict_fn(detector, use_nms)
 
@@ -139,7 +160,7 @@ def evaluate_detector(detector: DINODetector, variables, dataset,
                 idx = idx + [idx[-1]] * (batch_size - len(idx))
                 yield make_test_batch(dataset, idx, bkt, scale=test_scale)
 
-    dets = run_eval(predict, variables, batches())
+    dets = run_eval(predict, variables, batches(), mesh=mesh)
     gts = {}
     for rec in dataset.records:
         ig = np.zeros(len(rec.boxes), bool)

@@ -301,7 +301,7 @@ class SsodTrainer:
         results = evaluate_teacher_and_student(
             self.detector, self.state, self.val_dataset,
             use_nms=warm_up, bucket=self.bucket, test_scale=test_scale,
-            num_classes=self.cfg.dino.num_classes)
+            num_classes=self.cfg.dino.num_classes, mesh=self.mesh)
         for tag, res in results.items():
             self.logger.log_eval(step, res, tag)
         return results
@@ -454,7 +454,7 @@ class SupervisedTrainer:
                     self.detector, self.state, self.val_dataset,
                     use_nms=warm_up, bucket=self.bucket,
                     test_scale=test_scale,
-                    num_classes=self.cfg.num_classes)
+                    num_classes=self.cfg.num_classes, mesh=self.mesh)
                 for tag, res in results.items():
                     self.logger.log_eval(step, res, tag)
         self.ckpt.maybe_save(self.state, force=True)

@@ -259,3 +259,37 @@ def test_supervised_overfit_smoke(tmp_path):
     np.testing.assert_allclose(
         np.asarray(trainer2.state.params["label_enc"]),
         np.asarray(trainer.state.params["label_enc"]), rtol=1e-6)
+
+
+@pytest.mark.slow
+def test_eval_mesh_sharding_equivalence(tmp_path):
+    """Data-sharded periodic eval (reference multi_gpu_test analog,
+    models/inference.py:run_eval mesh arg) must produce EXACTLY the
+    single-device results — the batch rounds up to the data-axis size
+    and pads by repeating the last image, whose duplicates overwrite
+    the same image_id."""
+    import optax
+
+    from semi_detr_tpu.data.coco import CocoDataset
+    from semi_detr_tpu.models.dino_head import DINODetector
+    from semi_detr_tpu.models.inference import evaluate_detector
+    from semi_detr_tpu.models.ssod import Projector
+    from semi_detr_tpu.parallel import make_mesh
+    from semi_detr_tpu.train.ssod import init_ssod_state
+
+    tiny, cfg = _tiny_cfgs()
+    ann, img_dir = _write_tiny_dataset(str(tmp_path), n=10, hw=(64, 64))
+    val = CocoDataset(ann, img_dir, classes=("person",), test_mode=True,
+                      filter_empty_gt=False)
+    det, proj = DINODetector(tiny), Projector(tiny.d_model)
+    st = init_ssod_state(det, proj, optax.identity(), cfg,
+                         jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)),
+                         jnp.asarray([[64, 64]], jnp.int32))
+    v = {"params": st.params["detector"], "batch_stats": st.batch_stats}
+    kw = dict(batch_size=8, use_nms=False, bucket=(64, 64),
+              test_scale=(56, 56), num_classes=7)
+    r0 = evaluate_detector(det, v, val, **kw)
+    rm = evaluate_detector(det, v, val,
+                           mesh=make_mesh(devices=jax.devices()[:8]), **kw)
+    for k in ("mAP", "mAP_50", "mAP_75", "AR_100"):
+        np.testing.assert_array_equal(r0[k], rm[k]), k

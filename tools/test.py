@@ -71,9 +71,12 @@ def main():
 
     params = (state.teacher_params if args.inference_on == "teacher"
               else state.params["detector"])
+    # data-shard eval over the slice (reference multi_gpu_test analog)
+    from semi_detr_tpu.parallel import make_mesh
+    mesh = make_mesh() if len(jax.devices()) > 1 else None
     res = evaluate_detector(
         detector, {"params": params, "batch_stats": state.batch_stats},
-        val, use_nms=use_nms,
+        val, use_nms=use_nms, mesh=mesh,
         bucket=tuple(cfg.get("bucket", (800, 1344))),
         test_scale=(tuple(max(cfg["scales"])) if cfg.get("scales")
                     else None),
