@@ -108,7 +108,11 @@ def run_eval(predict_fn, variables, batches: Iterable[Dict],
     detr_od/apis/test.py:70-191; our outputs come back as global arrays,
     so no result-collection collective is needed)."""
     sharding = None
-    if mesh is not None:
+    if mesh is not None and jax.process_count() == 1:
+        # multi-host: a process-spanning mesh isn't addressable for
+        # device_put of host batches — fall back to the replicated
+        # (per-host redundant) eval, which is the reference DistEvalHook
+        # behavior minus its rank-sliced dataset
         from jax.sharding import NamedSharding, PartitionSpec as P
         sharding = NamedSharding(mesh, P("data"))
     results = {}
