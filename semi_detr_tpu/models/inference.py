@@ -132,6 +132,47 @@ def run_eval(predict_fn, variables, batches: Iterable[Dict],
     return results
 
 
+def gather_results(results: Dict[int, Tuple], max_dets: int = 300
+                   ) -> Dict[int, Tuple]:
+    """All-gather per-image eval results across processes (multi-host
+    rank-sliced eval — the reference's `collect_results_gpu`,
+    detr_od/apis/test.py:152-191, as ONE host-side allgather of padded
+    fixed-shape arrays instead of its pickle-shard dance).
+
+    Every process passes ITS images' {image_id: (boxes, scores, labels)};
+    every process returns the union. No-op on single-process."""
+    if jax.process_count() == 1:
+        return results
+    from jax.experimental import multihost_utils as mh
+
+    ids = sorted(results)
+    counts = np.asarray(mh.process_allgather(
+        jnp.asarray(len(ids), jnp.int32)))
+    m = int(counts.max())
+    img_ids = np.full((m,), -1, np.int32)   # COCO ids < 2^31; x64 is off
+    ndet = np.zeros((m,), np.int32)
+    boxes = np.zeros((m, max_dets, 4), np.float32)
+    scores = np.zeros((m, max_dets), np.float32)
+    labels = np.zeros((m, max_dets), np.int32)
+    for i, iid in enumerate(ids):
+        b, s, l = results[iid]
+        k = min(len(s), max_dets)
+        img_ids[i], ndet[i] = iid, k
+        boxes[i, :k], scores[i, :k], labels[i, :k] = b[:k], s[:k], l[:k]
+    g = mh.process_allgather({"ids": img_ids, "n": ndet, "b": boxes,
+                              "s": scores, "l": labels}, tiled=False)
+    merged: Dict[int, Tuple] = {}
+    gi, gn = np.asarray(g["ids"]), np.asarray(g["n"])
+    gb, gs, gl = np.asarray(g["b"]), np.asarray(g["s"]), np.asarray(g["l"])
+    for p in range(gi.shape[0]):
+        for r in range(gi.shape[1]):
+            if gi[p, r] >= 0:
+                k = gn[p, r]
+                merged[int(gi[p, r])] = (gb[p, r, :k], gs[p, r, :k],
+                                         gl[p, r, :k])
+    return merged
+
+
 def evaluate_detector(detector: DINODetector, variables, dataset,
                       batch_size: int = 4, use_nms: bool = False,
                       bucket=(800, 1344), test_scale=None,
@@ -164,7 +205,15 @@ def evaluate_detector(detector: DINODetector, variables, dataset,
                 idx = idx + [idx[-1]] * (batch_size - len(idx))
                 yield make_test_batch(dataset, idx, bkt, scale=test_scale)
 
-    dets = run_eval(predict, variables, batches(), mesh=mesh)
+    nproc = jax.process_count()
+    if nproc > 1:
+        # rank-sliced eval (reference multi_gpu_test: each rank infers a
+        # disjoint dataset slice, results gathered to every host)
+        pidx = jax.process_index()
+        my = (b for i, b in enumerate(batches()) if i % nproc == pidx)
+        dets = gather_results(run_eval(predict, variables, my))
+    else:
+        dets = run_eval(predict, variables, batches(), mesh=mesh)
     gts = {}
     for rec in dataset.records:
         ig = np.zeros(len(rec.boxes), bool)

@@ -53,6 +53,26 @@ s = SemiBalanceSampler(40, 80, np.ones(40, np.int64), np.ones(80, np.int64),
                       epoch_length=5, seed=7, num_shards=nproc,
                       shard_id=pid)
 draws = [(sup.tolist(), unsup.tolist(), f) for sup, unsup, f in s.epoch(0)]
+
+# rank-sliced eval (reference multi_gpu_test): each process infers a
+# disjoint batch slice, gather_results unions them on every host
+from semi_detr_tpu.data.coco import CocoDataset
+from semi_detr_tpu.models.dino_head import DinoConfig, DINODetector
+from semi_detr_tpu.models.inference import evaluate_detector
+
+tiny = DinoConfig(num_classes=1, num_queries=12, d_model=32, n_heads=2,
+                  num_encoder_layers=1, num_decoder_layers=1, d_ffn=32,
+                  dn_single_pad=2, dn_groups=1, max_gt=4)
+det = DINODetector(tiny)
+variables = det.init({"params": jax.random.PRNGKey(0)},
+                     np.zeros((1, 64, 64, 3), np.float32),
+                     np.asarray([[64, 64]], np.int32))
+val = CocoDataset(os.environ["SDT_EVAL_ANN"], os.environ["SDT_EVAL_IMG"],
+                  classes=("person",), test_mode=True,
+                  filter_empty_gt=False)
+res = evaluate_detector(det, variables, val, batch_size=2, use_nms=False,
+                        bucket=(64, 64), test_scale=(56, 56), num_classes=1)
+print("EVAL", res["mAP"], res["AR_100"], flush=True)
 print("RESULT", total, repr(draws), flush=True)
 """
 
@@ -66,11 +86,20 @@ def test_two_process_distributed_cpu(tmp_path):
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     script = tmp_path / "worker.py"
     script.write_text(_WORKER)
+
+    # tiny val set for the rank-sliced eval leg (6 images -> 3 batches
+    # of 2: process 0 gets batches {0, 2}, process 1 gets {1})
+    from semi_detr_tpu.data.synthetic import write_synthetic_coco
+    ann, img_dir = write_synthetic_coco(str(tmp_path / "data"), n=6,
+                                        hw=(64, 64), seed=3)
+
     procs = []
     for pid in range(2):
         env = dict(os.environ)
         env.update({
             "SDT_REPO": repo,
+            "SDT_EVAL_ANN": ann,
+            "SDT_EVAL_IMG": img_dir,
             "JAX_PLATFORMS": "cpu",
             "XLA_FLAGS": "--xla_force_host_platform_device_count=4",
             "JAX_COORDINATOR_ADDRESS": f"localhost:{port}",
@@ -82,9 +111,42 @@ def test_two_process_distributed_cpu(tmp_path):
             stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True))
     outs = []
     for p in procs:
-        out, err = p.communicate(timeout=420)
+        out, err = p.communicate(timeout=900)
         assert p.returncode == 0, f"worker failed:\n{out}\n{err}"
         outs.append(out)
+
+    # both processes computed the SAME eval metrics over the union of
+    # their disjoint slices — and they match a single-process eval of
+    # the same random-init model (PRNGKey(0) is process-independent)
+    evals = []
+    for out in outs:
+        line = [l for l in out.splitlines() if l.startswith("EVAL")][0]
+        evals.append(tuple(float(x) for x in line.split()[1:]))
+    assert evals[0] == evals[1], evals
+
+    from semi_detr_tpu.data.coco import CocoDataset
+    from semi_detr_tpu.models.dino_head import DinoConfig, DINODetector
+    from semi_detr_tpu.models.inference import evaluate_detector
+    import jax
+
+    tiny = DinoConfig(num_classes=1, num_queries=12, d_model=32,
+                      n_heads=2, num_encoder_layers=1,
+                      num_decoder_layers=1, d_ffn=32, dn_single_pad=2,
+                      dn_groups=1, max_gt=4)
+    det = DINODetector(tiny)
+    variables = det.init({"params": jax.random.PRNGKey(0)},
+                         np.zeros((1, 64, 64, 3), np.float32),
+                         np.asarray([[64, 64]], np.int32))
+    val = CocoDataset(ann, img_dir, classes=("person",), test_mode=True,
+                      filter_empty_gt=False)
+    res = evaluate_detector(det, variables, val, batch_size=2,
+                            use_nms=False, bucket=(64, 64),
+                            test_scale=(56, 56), num_classes=1)
+    # loose tol: parent/workers are different XLA processes (device
+    # count 8 vs 4) — tie-break jitter only; a dropped/duplicated image
+    # moves these metrics at the 1e-2 level
+    np.testing.assert_allclose(evals[0][0], res["mAP"], atol=1e-3)
+    np.testing.assert_allclose(evals[0][1], res["AR_100"], atol=1e-3)
 
     results = []
     for out in outs:
