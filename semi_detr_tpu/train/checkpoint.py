@@ -21,7 +21,7 @@ import jax
 import numpy as np
 import orbax.checkpoint as ocp
 
-from .state import TrainState
+from .state import TrainState, copy_tree
 
 
 def migrate_scanned_encoder(tree):
@@ -106,19 +106,23 @@ def duplicate_into_teacher(state: TrainState) -> TrainState:
     duplicated into the teacher (`dino_detr_ssod.py:963-968`)."""
     det = (state.params["detector"] if isinstance(state.params, dict)
            and "detector" in state.params else state.params)
-    return state.replace(teacher_params=det)
+    return state.replace(teacher_params=copy_tree(det))
 
 
 def load_pretrained_detector(state: TrainState, detector_params) -> TrainState:
     """Load supervised detector params into an SSOD state (both copies)."""
     params = dict(state.params)
     params["detector"] = detector_params
-    return state.replace(params=params, teacher_params=detector_params)
+    return state.replace(params=params,
+                         teacher_params=copy_tree(detector_params))
 
 
 def _cast_like(dst, src):
+    # np.array (copy) rather than np.asarray: a plain-detector warm start
+    # feeds the SAME loaded tree into student and teacher — aliased
+    # leaves break buffer donation (donate-twice XLA error)
     return jax.tree.map(
-        lambda d, s: np.asarray(s, dtype=np.asarray(d).dtype), dst, src)
+        lambda d, s: np.array(s, dtype=np.asarray(d).dtype), dst, src)
 
 
 def load_warm_start(path: str, n_heads: int = 8) -> dict:

@@ -137,8 +137,10 @@ class SsodTrainer:
                  multi_bucket: bool = False,
                  epoch_length: int = 7330,
                  image_log_interval: int = 2000,
-                 fsdp: bool = False, tp: int = 1):
+                 fsdp: bool = False, tp: int = 1,
+                 donate: bool = False):
         self.cfg = cfg
+        self.donate = donate
         self.work_dir = work_dir
         # throttled pseudo-label render interval, 0 = off (reference
         # log_image_with_boxes, detr_ssod/utils/logger.py:91-161)
@@ -198,7 +200,7 @@ class SsodTrainer:
         if warm_up not in self._steps:
             self._steps[warm_up] = make_ssod_train_step(
                 self.detector, self.projector, self.tx, self.cfg,
-                warm_up=warm_up, mesh=self.mesh,
+                warm_up=warm_up, mesh=self.mesh, donate=self.donate,
                 state_sharding=self.state_sharding)
         return self._steps[warm_up]
 
@@ -320,8 +322,10 @@ class SupervisedTrainer:
                  backbone_init: Optional[str] = None,
                  load_from: Optional[str] = None,
                  multi_bucket: bool = False,
-                 fsdp: bool = False, tp: int = 1):
+                 fsdp: bool = False, tp: int = 1,
+                 donate: bool = False):
         self.cfg = cfg
+        self.donate = donate
         self.multi_bucket = multi_bucket
         self.scales = scales
         self.dataset = dataset
@@ -369,7 +373,7 @@ class SupervisedTrainer:
         if warm_up not in self._steps:
             self._steps[warm_up] = make_supervised_train_step(
                 self.detector, self.tx, warm_up=warm_up, mesh=self.mesh,
-                state_sharding=self.state_sharding)
+                donate=self.donate, state_sharding=self.state_sharding)
         return self._steps[warm_up]
 
     def resume(self, path: Optional[str] = None):

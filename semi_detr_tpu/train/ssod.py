@@ -35,7 +35,7 @@ from ..models.ssod import (Projector, SsodConfig, combined_attn_mask,
                            transform_pseudo_to_student)
 from ..ops.gmm import fit_gmm_threshold
 from ..ops.roi_align import multi_level_roi_align
-from .state import TrainState, ema_update
+from .state import TrainState, copy_tree, ema_update
 
 
 def _unsup_forward_and_loss(detector: DINODetector, projector: Projector,
@@ -290,6 +290,6 @@ def init_ssod_state(detector: DINODetector, projector: Projector,
         step=jnp.zeros((), jnp.int32),
         params=params,
         batch_stats=dvars.get("batch_stats", {}),
-        teacher_params=jax.tree.map(lambda x: x, dvars["params"]),
+        teacher_params=copy_tree(dvars["params"]),
         opt_state=tx.init(params),
     )

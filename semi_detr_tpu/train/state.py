@@ -24,6 +24,14 @@ import jax.numpy as jnp
 import optax
 
 
+def copy_tree(tree):
+    """Deep-copy a param tree into DISTINCT device buffers. Teacher
+    duplication must not alias student buffers: under buffer donation
+    (`donate=True`) an aliased state is an XLA error ('attempt to donate
+    the same buffer twice')."""
+    return jax.tree.map(jnp.copy, tree)
+
+
 @flax.struct.dataclass
 class TrainState:
     step: jax.Array                 # () int32 — curr_step of the reference
@@ -40,7 +48,7 @@ class TrainState:
             step=jnp.zeros((), jnp.int32),
             params=params,
             batch_stats=variables.get("batch_stats", {}),
-            teacher_params=params if with_teacher else None,
+            teacher_params=copy_tree(params) if with_teacher else None,
             opt_state=tx.init(params),
         )
 

@@ -38,7 +38,8 @@ def main():
         load_from=cfg.get("load_from"),
         multi_bucket=bool(cfg.get("multi_bucket", False)),
         fsdp=bool(cfg.get("fsdp", False)),
-        tp=int(cfg.get("tp", 1)))
+        tp=int(cfg.get("tp", 1)),
+        donate=bool(cfg.get("donate", False)))
     if args.resume_from:
         trainer.resume(args.resume_from)
     elif trainer.ckpt.latest_step() is not None:

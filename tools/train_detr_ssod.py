@@ -49,7 +49,8 @@ def main():
         epoch_length=int(sched.get("epoch_length", 7330)),
         image_log_interval=int(cfg.get("image_log_interval", 2000)),
         fsdp=bool(cfg.get("fsdp", False)),
-        tp=int(cfg.get("tp", 1)))
+        tp=int(cfg.get("tp", 1)),
+        donate=bool(cfg.get("donate", False)))
     if args.resume_from:
         trainer.resume(args.resume_from)
     elif trainer.ckpt.latest_step() is not None:
