@@ -65,6 +65,8 @@ run python tools/benchmarks/train_step_bench.py --ssod --post-warmup --steps 5
 run python tools/benchmarks/train_step_bench.py --batch 2 --steps 5 --donate
 # 9. larger per-chip batch (if 8 fits with donation, north-star lever)
 run python tools/benchmarks/train_step_bench.py --batch 4 --steps 5 --donate
+# 9b. serving/eval throughput (forward + top-300 decode)
+run python tools/benchmarks/train_step_bench.py --infer --batch 8 --steps 10
 # 10. profiler trace of the SSOD recipe step (stage attribution:
 #     encoder/decoder/NMS/Hungarian/optimizer shares)
 run python tools/benchmarks/train_step_bench.py --ssod --steps 3 \

@@ -33,6 +33,10 @@ def main():
                         "(1 sup + 4 unsup, two views, warm-up stage)")
     p.add_argument("--post-warmup", action="store_true",
                    help="with --ssod: the post-warm-up stage program")
+    p.add_argument("--infer", action="store_true",
+                   help="serving/eval throughput: forward + top-300 "
+                        "decode (models/inference.make_predict_fn) at "
+                        "--batch, no grads/optimizer")
     args = p.parse_args()
 
     import jax
@@ -45,6 +49,8 @@ def main():
 
     if args.ssod:
         return ssod_bench(args)
+    if args.infer:
+        return infer_bench(args)
 
     cfg = DinoConfig(dtype=jnp.bfloat16, remat=not args.no_remat)
     model = DINODetector(cfg)
@@ -87,6 +93,44 @@ def main():
         print(f"trace written to {args.profile}")
     print(f"steady-state: {med * 1000:.0f} ms/step "
           f"-> {b / med:.2f} img/s/chip (bs{b}, {h}x{w})")
+
+
+def infer_bench(args):
+    """Serving/eval throughput: the exact predict program periodic eval
+    and tools/test.py run (forward + top-300 decode), steady-state."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from semi_detr_tpu.models.dino_head import DinoConfig, DINODetector
+    from semi_detr_tpu.models.inference import make_predict_fn
+
+    cfg = DinoConfig(dtype=jnp.bfloat16, remat=not args.no_remat)
+    model = DINODetector(cfg)
+    b, h, w = args.batch, args.height, args.width
+    rs = np.random.RandomState(0)
+    images = jnp.asarray(rs.randn(b, h, w, 3).astype(np.float32))
+    hw = jnp.tile(jnp.asarray([[h, w]], jnp.int32), (b, 1))
+    t0 = time.time()
+    variables = jax.jit(model.init)({"params": jax.random.PRNGKey(0)},
+                                    images[:1], hw[:1])
+    print(f"init: {time.time() - t0:.1f}s")
+    predict = make_predict_fn(model, use_nms=False)
+
+    t0 = time.time()
+    out = predict(variables, images, hw)
+    _ = float(jax.tree.leaves(out)[0].reshape(-1)[0])   # axon-safe sync
+    print(f"first call (compile): {time.time() - t0:.1f}s")
+    ts = []
+    for _ in range(args.steps):
+        t0 = time.perf_counter()
+        out = predict(variables, images, hw)
+        _ = float(jax.tree.leaves(out)[0].reshape(-1)[0])
+        ts.append(time.perf_counter() - t0)
+    med = sorted(ts)[len(ts) // 2]
+    print(f"steady-state: {med * 1000:.0f} ms/batch -> "
+          f"{b / med:.2f} img/s/chip (infer bs{b}, {h}x{w})")
 
 
 def ssod_bench(args):
