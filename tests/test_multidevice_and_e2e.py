@@ -151,6 +151,23 @@ def _mesh_equivalence_body():
     np.testing.assert_allclose(np.asarray(enc1),
                                np.asarray(jax.device_get(enct)),
                                rtol=1e-4, atol=1e-6)
+
+    # FSDP+TP combined (the pod configuration fsdp=True tp=2): TP wins
+    # on FFN leaves, FSDP shards the rest over data
+    ft_shards = tp_sharding(mesh2, state0,
+                            base=fsdp_sharding(mesh2, state0, min_size=1))
+    state_ft = jax.device_put(state0, ft_shards)
+    stepft = make_ssod_train_step(detector, projector, tx, cfg,
+                                  warm_up=True, mesh=mesh2,
+                                  state_sharding=ft_shards)
+    sft, mft = stepft(state_ft, shard_batch(batch, mesh2), rng)
+    for key in ("total_loss", "grad_norm", "unsup_loss_cls", "gmm_thr"):
+        np.testing.assert_allclose(float(m1[key]), float(mft[key]),
+                                   rtol=2e-3, atol=1e-5, err_msg=key)
+    np.testing.assert_allclose(
+        np.asarray(s1.params["detector"]["label_enc"]),
+        np.asarray(jax.device_get(sft.params["detector"]["label_enc"])),
+        rtol=1e-4, atol=1e-6)
     print("MESH_EQUIV_OK")
 
 
@@ -178,7 +195,7 @@ def test_mesh_equivalence_1dev_vs_8dev():
              "m._mesh_equivalence_body()" % (
                  os.path.dirname(os.path.dirname(os.path.abspath(
                      __file__))), os.path.abspath(__file__))],
-            env=env, capture_output=True, text=True, timeout=1800)
+            env=env, capture_output=True, text=True, timeout=3000)
         last = out
         if out.returncode == 0 and "MESH_EQUIV_OK" in out.stdout:
             return
