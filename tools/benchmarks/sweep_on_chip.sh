@@ -27,7 +27,10 @@ echo "[sweep] TPU alive at $(date)" | tee -a "$LOG"
 
 run() {
   echo "=== $* ($(date +%H:%M:%S))" >> "$LOG"
-  flock "$TPULOCK" timeout 2700 "$@" >> "$LOG" 2>&1
+  # -w bounds the lock wait so a wedged external holder skips the step
+  # instead of stalling the sweep indefinitely.
+  flock -w 3000 "$TPULOCK" timeout 2700 "$@" >> "$LOG" 2>&1 \
+    || echo "[sweep] step failed or lock-wait expired: $*" >> "$LOG"
   echo "=== exit $? ===" >> "$LOG"
 }
 
@@ -75,7 +78,9 @@ run python tools/benchmarks/train_step_bench.py --ssod --steps 3 \
 # lock internally (a wrapper's held lock would self-block it; flock is
 # per open-file-description). Sequential here, so no other sweep step
 # can race it.
+# Timeout 6000 > bench.py's own 3000s internal lock wait + runtime, so a
+# contended lock can't kill it before it emits its JSON line.
 echo "=== python bench.py ($(date +%H:%M:%S))" >> "$LOG"
-timeout 2700 python bench.py >> "$LOG" 2>&1
+timeout 6000 python bench.py >> "$LOG" 2>&1
 echo "=== exit $? ===" >> "$LOG"
 echo "[sweep] done at $(date)" | tee -a "$LOG"

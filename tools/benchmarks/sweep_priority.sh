@@ -11,15 +11,35 @@ export JAX_COMPILATION_CACHE_DIR=/tmp/jax_cache_tpu
 export JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS=1
 TPULOCK=/tmp/sdt_tpu.lock
 
+# Cheap TPU-alive probe (bounded lock wait + bounded python): a dead
+# tunnel should skip a step in ~2 min, not hang it for 2700 s or let it
+# silently fall back to CPU and pollute the A/B timings.
+probe() {
+  flock -w 120 "$TPULOCK" timeout 60 python -c "
+import jax
+assert jax.devices()[0].platform == 'tpu'
+import jax.numpy as jnp
+float((jnp.ones((8,8))@jnp.ones((8,8))).sum())" >/dev/null 2>&1
+}
+
 run() {
+  if ! probe; then
+    echo "=== SKIP (tpu probe failed) $* ($(date +%H:%M:%S))" >> "$LOG"
+    return
+  fi
   echo "=== $* ($(date +%H:%M:%S))" >> "$LOG"
-  flock "$TPULOCK" timeout 2700 "$@" >> "$LOG" 2>&1
+  # -w bounds the lock wait (a wedged external holder skips the step
+  # instead of stalling the sweep); the 2700s timeout starts after.
+  flock -w 3000 "$TPULOCK" timeout 2700 "$@" >> "$LOG" 2>&1 \
+    || echo "[sweep] step failed or lock-wait expired: $*" >> "$LOG"
   echo "=== exit $? ($(date +%H:%M:%S)) ===" >> "$LOG"
 }
 
-# 1. driver metric first (bench.py locks internally — no wrapper flock)
+# 1. driver metric first (bench.py locks internally — no wrapper flock).
+# Timeout 6000 > bench.py's own 3000s internal lock wait + step runtime,
+# so a contended lock can't kill it before it emits its JSON line.
 echo "=== python bench.py ($(date +%H:%M:%S))" >> "$LOG"
-timeout 2700 python bench.py >> "$LOG" 2>&1
+timeout 6000 python bench.py >> "$LOG" 2>&1
 echo "=== exit $? ($(date +%H:%M:%S)) ===" >> "$LOG"
 # 2. flagship supervised train step (headline vs round-1 0.60 img/s)
 run python tools/benchmarks/train_step_bench.py --batch 2 --steps 5
