@@ -6,11 +6,17 @@ output 7x7, featmap strides [8,16,32,64]). `aligned=True` semantics
 (mmcv default): continuous coordinates are used directly with a half-pixel
 shift, bilinear sampled with `sampling_ratio` taps per bin axis.
 
-Deviation (documented): the reference uses sampling_ratio=0 (adaptive
-ceil(roi_extent/out_size) taps — a dynamic shape). We use a static
-sampling_ratio (default 2), the common fixed setting; the output feeds a
-learned projector, so this is a re-parameterization rather than a behavior
-gap.
+`sampling_ratio=0` (the reference/mmcv default) means ADAPTIVE taps:
+per-RoI grid = ceil(roi_extent_in_cells / out_size) per axis, with the
+average divided by the true tap count (mmcv `roi_align_kernel` /
+torchvision `roi_align` semantics). That is a dynamic shape, so here it
+is realized as a static `max_taps`-wide tap grid with per-RoI masking:
+taps beyond the adaptive count carry zero weight and the divisor is the
+true (unclipped-within-budget) count. Exact vs mmcv whenever the
+adaptive count <= max_taps; with SingleRoIExtractor level routing the
+count never exceeds ~3 on any level for images up to ~1792px at stride
+64, so max_taps=4 is exact for the whole Semi-DETR recipe. Degenerate
+(zero-extent) RoIs produce 0 with divisor 1, as in mmcv.
 
 Level assignment follows mmdet SingleRoIExtractor.map_roi_levels:
 lvl = clamp(floor(log2(sqrt(area)/finest_scale + 1e-6)), 0, L-1),
@@ -58,9 +64,16 @@ def _bilinear(feat: jax.Array, x: jax.Array, y: jax.Array):
 
 
 def roi_align_level(feat: jax.Array, rois_xyxy: jax.Array, stride: float,
-                    out_size: int = 7, sampling_ratio: int = 2):
+                    out_size: int = 7, sampling_ratio: int = 2,
+                    max_taps: int = 4):
     """RoIAlign on one level. feat: (H, W, C); rois: (R, 4) in image coords.
-    Returns (R, out_size, out_size, C)."""
+    Returns (R, out_size, out_size, C).
+
+    sampling_ratio > 0: fixed taps per bin axis (torchvision semantics).
+    sampling_ratio == 0: adaptive mmcv semantics — per-RoI grid =
+    ceil(extent_cells / out_size) per axis, realized on a static
+    `max_taps` grid with masking (see module docstring)."""
+    r = rois_xyxy.shape[0]
     scale = 1.0 / stride
     x0 = rois_xyxy[:, 0] * scale - 0.5
     y0 = rois_xyxy[:, 1] * scale - 0.5
@@ -68,30 +81,54 @@ def roi_align_level(feat: jax.Array, rois_xyxy: jax.Array, stride: float,
     y1 = rois_xyxy[:, 3] * scale - 0.5
     rw = x1 - x0
     rh = y1 - y0
-
-    s = sampling_ratio
     bin_w = rw / out_size
     bin_h = rh / out_size
-    # tap grid: (out, s) offsets within the roi
-    ix = jnp.arange(out_size)[:, None] + (jnp.arange(s)[None, :] + 0.5) / s
-    # sample x coords: (R, out, s)
-    sx = x0[:, None, None] + bin_w[:, None, None] * ix[None]
-    sy = y0[:, None, None] + bin_h[:, None, None] * ix[None]
-    # full grid (R, out, s, out, s)
+
+    if sampling_ratio > 0:
+        t = sampling_ratio
+        nx = jnp.full((r,), t, jnp.int32)
+        ny = jnp.full((r,), t, jnp.int32)
+    else:
+        t = max_taps
+        # adaptive grid, capped at the static budget; the cap only binds
+        # for RoIs whose extent exceeds max_taps*out_size feature cells
+        nx = jnp.minimum(jnp.ceil(rw / out_size), t).astype(jnp.int32)
+        ny = jnp.minimum(jnp.ceil(rh / out_size), t).astype(jnp.int32)
+
+    it = jnp.arange(t)
+    # per-bin tap offsets in [0,1): (R, t); divisor >=1 avoids div-by-0
+    # for degenerate RoIs (their taps are all masked anyway)
+    offx = (it[None, :] + 0.5) / jnp.maximum(nx, 1)[:, None]
+    offy = (it[None, :] + 0.5) / jnp.maximum(ny, 1)[:, None]
+    mx = it[None, :] < nx[:, None]                  # (R, t)
+    my = it[None, :] < ny[:, None]
+    ob = jnp.arange(out_size)
+    # sample coords: (R, out, t)
+    sx = x0[:, None, None] + bin_w[:, None, None] * (ob[None, :, None]
+                                                     + offx[:, None, :])
+    sy = y0[:, None, None] + bin_h[:, None, None] * (ob[None, :, None]
+                                                     + offy[:, None, :])
+    # full grid (R, out, t, out, t)
     gx = jnp.broadcast_to(sx[:, None, None, :, :],
-                          (rois_xyxy.shape[0], out_size, s, out_size, s))
+                          (r, out_size, t, out_size, t))
     gy = jnp.broadcast_to(sy[:, :, :, None, None],
-                          (rois_xyxy.shape[0], out_size, s, out_size, s))
-    v = _bilinear(feat, gx, gy)                     # (R, oh, s, ow, s, C)
-    return v.mean(axis=(2, 4))                      # (R, oh, ow, C)
+                          (r, out_size, t, out_size, t))
+    v = _bilinear(feat, gx, gy)                     # (R, oh, t, ow, t, C)
+    w = (my[:, None, :, None, None] & mx[:, None, None, None, :])
+    count = jnp.maximum(ny * nx, 1).astype(v.dtype)  # mmcv count semantics
+    v = jnp.where(w[..., None], v, 0.0).sum(axis=(2, 4))
+    return v / count[:, None, None, None]
 
 
 @partial(jax.jit, static_argnames=("strides", "out_size", "sampling_ratio",
                                    "finest_scale"))
 def multi_level_roi_align(feats: Sequence[jax.Array], rois_xyxy: jax.Array,
                           strides=(8, 16, 32, 64), out_size: int = 7,
-                          sampling_ratio: int = 2, finest_scale: int = 56):
+                          sampling_ratio: int = 0, finest_scale: int = 56):
     """SingleRoIExtractor: route each RoI to one pyramid level by scale.
+
+    Default sampling_ratio=0 = adaptive taps, matching the reference's
+    mmcv RoIAlign default (`detr_ssod/models/dino_detr_ssod.py:97-101`).
 
     feats: list of (H_l, W_l, C) for each stride. rois: (R, 4) image coords.
     Returns (R, out_size, out_size, C).

@@ -110,18 +110,29 @@ def test_nms_empty():
 
 # ------------------------------------------------------------ RoIAlign
 def _np_roi_align(feat, roi, stride, out, ratio):
-    """Direct loop implementation of aligned RoIAlign (independent ref)."""
+    """Direct loop implementation of aligned RoIAlign (independent ref).
+
+    ratio=0 reproduces mmcv's adaptive semantics exactly as written in
+    the CUDA kernel consumed by the reference (`mmcv roi_align`:
+    grid = ceil(extent/out) per axis, divide by the true tap count,
+    count floor of 1)."""
     H, W, C = feat.shape
     x0, y0, x1, y1 = (v / stride - 0.5 for v in roi)
     bw, bh = (x1 - x0) / out, (y1 - y0) / out
+    if ratio > 0:
+        gx = gy = ratio
+    else:
+        gx = int(np.ceil((x1 - x0) / out))
+        gy = int(np.ceil((y1 - y0) / out))
+    count = max(gx * gy, 1)
     res = np.zeros((out, out, C))
     for oy in range(out):
         for ox in range(out):
             acc = np.zeros(C)
-            for sy in range(ratio):
-                for sx in range(ratio):
-                    y = y0 + bh * (oy + (sy + 0.5) / ratio)
-                    x = x0 + bw * (ox + (sx + 0.5) / ratio)
+            for sy in range(gy):
+                for sx in range(gx):
+                    y = y0 + bh * (oy + (sy + 0.5) / gy)
+                    x = x0 + bw * (ox + (sx + 0.5) / gx)
                     if x < -1 or x > W or y < -1 or y > H:
                         continue
                     x, y = max(x, 0), max(y, 0)
@@ -132,7 +143,7 @@ def _np_roi_align(feat, roi, stride, out, ratio):
                             + feat[yl, xh] * fx * (1 - fy)
                             + feat[yh, xl] * (1 - fx) * fy
                             + feat[yh, xh] * fx * fy)
-            res[oy, ox] = acc / ratio ** 2
+            res[oy, ox] = acc / count
     return res
 
 
@@ -149,6 +160,43 @@ def test_roi_align_matches_loop_reference():
         np.testing.assert_allclose(got[r], ref, rtol=1e-4, atol=1e-5)
 
 
+def test_roi_align_adaptive_matches_loop_reference():
+    """sampling_ratio=0 adaptive taps (the mmcv default the reference
+    consumes, `detr_ssod/models/dino_detr_ssod.py:97-101`): per-RoI
+    grids of 1x1 up to 3x3 taps, incl. a degenerate zero-extent RoI."""
+    rng = np.random.RandomState(7)
+    feat = rng.randn(20, 28, 3).astype(np.float32)
+    rois = np.array([
+        [8., 16., 100., 90.],      # ~1-2 taps per axis at stride 8
+        [0., 0., 30., 30.],        # 1 tap
+        [4., 4., 170., 120.],      # ~3x2 taps
+        [-5., -5., 10., 200.],     # mixed, partially OOB
+        [16., 16., 16., 40.],      # zero width -> all-masked, output 0
+    ], np.float32)
+    got = np.asarray(roi_align_level(jnp.asarray(feat), jnp.asarray(rois),
+                                     stride=8.0, out_size=7,
+                                     sampling_ratio=0))
+    for r in range(len(rois)):
+        ref = _np_roi_align(feat, rois[r], 8.0, 7, 0)
+        np.testing.assert_allclose(got[r], ref, rtol=1e-4, atol=1e-5,
+                                   err_msg=f"roi {r}")
+    assert np.all(got[4] == 0.0)
+
+
+def test_roi_align_adaptive_cap_binds_gracefully():
+    """Extent beyond max_taps*out_size cells: taps clamp to the static
+    budget and the divisor follows, so values stay a proper average."""
+    rng = np.random.RandomState(8)
+    feat = rng.randn(64, 64, 2).astype(np.float32)
+    # 6 cells/bin at stride 1 -> adaptive grid would be 6x6, cap is 4
+    roi = np.array([[0., 0., 42., 42.]], np.float32)
+    got = np.asarray(roi_align_level(jnp.asarray(feat), jnp.asarray(roi),
+                                     stride=1.0, out_size=7,
+                                     sampling_ratio=0, max_taps=4))
+    ref4 = _np_roi_align(feat, roi[0], 1.0, 7, 4)   # fixed 4x4 == capped
+    np.testing.assert_allclose(got[0], ref4, rtol=1e-4, atol=1e-5)
+
+
 def test_multi_level_routing():
     rng = np.random.RandomState(6)
     feats = [jnp.asarray(rng.randn(64 // (2 ** i), 64 // (2 ** i), 4)
@@ -157,8 +205,8 @@ def test_multi_level_routing():
     rois = jnp.asarray([[10., 10., 40., 40.],       # sqrt(900)=30 -> lvl0
                         [0., 0., 500., 500.]])      # sqrt -> lvl3
     out = multi_level_roi_align(tuple(feats), rois)
-    small_l0 = roi_align_level(feats[0], rois[:1], 8)
-    big_l3 = roi_align_level(feats[3], rois[1:], 64)
+    small_l0 = roi_align_level(feats[0], rois[:1], 8, sampling_ratio=0)
+    big_l3 = roi_align_level(feats[3], rois[1:], 64, sampling_ratio=0)
     np.testing.assert_allclose(np.asarray(out[0]), np.asarray(small_l0[0]),
                                rtol=1e-3, atol=1e-5)
     np.testing.assert_allclose(np.asarray(out[1]), np.asarray(big_l3[0]),
