@@ -101,10 +101,13 @@ class SemiBalanceSampler:
             flag = int(rng.choice(usable, p=weights))
             sup_stream, unsup_stream = streams[flag]
             if self.by_prob:
-                # multinomial split of the batch (semi_sampler.py:118-132),
-                # at least 1 sup to keep loss groups populated
-                n_sup = int(rng.binomial(self.samples_per_batch - 1, p_sup))
-                n_sup = max(n_sup, 1)
+                # reference multinomial split (semi_sampler.py:113-135):
+                # samples_per_gpu indicators ~ WeightedRandomSampler with
+                # replacement -> n_sup ~ Binomial(batch, p_sup); a zero
+                # count on either side is bumped to 1 (the other side
+                # decremented), keeping both loss groups populated
+                n_sup = int(rng.binomial(self.samples_per_batch, p_sup))
+                n_sup = min(max(n_sup, 1), self.samples_per_batch - 1)
             else:
                 n_sup = r_sup
             n_unsup = self.samples_per_batch - n_sup

@@ -29,8 +29,8 @@ from ..models.dino_head import DinoConfig, DINODetector
 from ..models.inference import evaluate_teacher_and_student
 from ..models.ssod import Projector, SsodConfig
 from ..parallel import fsdp_sharding, make_mesh, shard_batch, tp_sharding
-from ..utils.logging import (MetricsLogger, log_image_with_boxes,
-                             weight_summary)
+from ..utils.logging import (MetricsLogger, device_memory_summary,
+                             log_image_with_boxes, weight_summary)
 from . import optim
 from .checkpoint import CheckpointManager
 from .ssod import init_ssod_state, make_ssod_train_step
@@ -138,8 +138,14 @@ class SsodTrainer:
                  epoch_length: int = 7330,
                  image_log_interval: int = 2000,
                  fsdp: bool = False, tp: int = 1,
-                 donate: bool = False):
+                 donate: bool = False,
+                 by_prob: bool = False):
         self.cfg = cfg
+        # reference multinomial batch mixing (semi_sampler.py:113-135).
+        # Opt-in: each sup/unsup composition is a distinct batch shape,
+        # so XLA compiles one program per composition (<= batch-1 of
+        # them, cached after the first occurrence of each).
+        self.by_prob = by_prob
         self.donate = donate
         self.work_dir = work_dir
         # throttled pseudo-label render interval, 0 = off (reference
@@ -222,6 +228,7 @@ class SsodTrainer:
             self.sup_dataset.flags, self.unsup_dataset.flags,
             self.samples_per_batch, (n_sup, n_unsup),
             epoch_length=self.epoch_length, seed=self.seed,
+            by_prob=self.by_prob,
             # per-host disjoint slices of the same global step
             # (reference rank sharding, semi_sampler.py:185-187)
             num_shards=jax.process_count(), shard_id=jax.process_index())
@@ -241,11 +248,16 @@ class SsodTrainer:
                 else:
                     bucket = _bucket_for_flag(self.bucket, flag)
                 rng = np.random.default_rng((self.seed, 7, step))
+                # by_prob: batch shapes follow the drawn composition
+                # (one compiled program per composition, as in the
+                # reference's variable per-batch mixing)
+                b_sup = len(sup_idx) if self.by_prob else n_sup
+                b_unsup = len(unsup_idx) if self.by_prob else n_unsup
                 sup = make_sup_batch(rng, self.sup_dataset,
-                                     _pad_indices(sup_idx, n_sup), bucket,
+                                     _pad_indices(sup_idx, b_sup), bucket,
                                      self.cfg.dino.max_gt, scales=scales)
                 unsup = make_unsup_batch(rng, self.unsup_dataset,
-                                         _pad_indices(unsup_idx, n_unsup),
+                                         _pad_indices(unsup_idx, b_unsup),
                                          bucket, self.cfg.dino.max_gt,
                                          scales=scales)
                 sup.pop("image_ids", None)
@@ -290,6 +302,10 @@ class SsodTrainer:
                     class_names=getattr(self.unsup_dataset, "classes",
                                         None))
             self.logger.log_step(step, metrics)
+            if step % 1000 == 0:
+                mem = device_memory_summary()
+                if mem:   # post-step peak HBM: bounds per-chip batch size
+                    self.logger.logger.info(f"hbm: {mem}")
             self.ckpt.maybe_save(self.state)
             if (self.val_dataset is not None and step > 0
                     and step % self.eval_interval == 0):

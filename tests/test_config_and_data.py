@@ -67,6 +67,33 @@ def test_sampler_ratio_and_determinism():
                for a, b in zip(batches, batches2))
 
 
+def test_sampler_by_prob_reference_distribution():
+    """Multinomial batch mixing (reference semi_sampler.py:113-135):
+    n_sup ~ Binomial(batch, p_sup) with both sides clamped to >= 1.
+    Asserts every batch keeps >= 1 sup and >= 1 unsup, fills the batch,
+    and the empirical E[n_sup] matches the exact clamped-binomial mean."""
+    from math import comb
+
+    batch, p = 5, 1 / 5
+    s = SemiBalanceSampler(10, 40, [0] * 10, [0] * 40,
+                           samples_per_batch=batch, sample_ratio=(1, 4),
+                           epoch_length=3000, seed=11, by_prob=True)
+    n_sups = []
+    for sup, unsup, _ in s.epoch(0):
+        assert 1 <= len(sup) <= batch - 1
+        assert len(sup) + len(unsup) == batch
+        n_sups.append(len(sup))
+    assert len(set(n_sups)) > 1, "by_prob should vary the composition"
+    # exact mean of the reference's clamped Binomial(batch, p)
+    pmf = [comb(batch, k) * p ** k * (1 - p) ** (batch - k)
+           for k in range(batch + 1)]
+    clamped = [max(min(k, batch - 1), 1) for k in range(batch + 1)]
+    exact_mean = sum(c * q for c, q in zip(clamped, pmf))
+    emp = np.mean(n_sups)
+    # 3000 draws, sigma ~ 0.78/sqrt(3000) ~ 0.014 -> 5-sigma band
+    assert abs(emp - exact_mean) < 0.08, (emp, exact_mean)
+
+
 def test_sampler_orientation_groups():
     # 6 landscape + 4 portrait sup; 20 landscape + 20 portrait unsup:
     # every batch must be orientation-pure w.r.t. the dataset flags

@@ -37,6 +37,7 @@ def main():
         lr_boundaries=tuple(sched.get("lr_boundaries", ())),
         samples_per_batch=sched.get("samples_per_batch", 5),
         sample_ratio=tuple(sched.get("sample_ratio", (1, 4))),
+        by_prob=bool(sched.get("by_prob", False)),
         eval_interval=cfg.get("eval_interval", 4000),
         ckpt_interval=cfg.get("ckpt_interval", 4000),
         bucket=tuple(cfg.get("bucket", (800, 1344))),
