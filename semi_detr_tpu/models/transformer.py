@@ -291,6 +291,67 @@ class DecoderLayer(nn.Module):
         return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm3")(tgt + f)
 
 
+def _dense_apply(p, x, dtype):
+    """Functional nn.Dense (same dtype semantics: inputs+params cast to
+    `dtype` before the matmul when set, plain promotion otherwise)."""
+    k, b = p["kernel"], p["bias"]
+    if dtype is not None:
+        x, k, b = x.astype(dtype), k.astype(dtype), b.astype(dtype)
+    return x @ k + b
+
+
+def _mlp_apply(p, x, num_layers, dtype):
+    """Functional `Mlp` (relu between layers, none after last)."""
+    for i in range(num_layers - 1):
+        x = nn.relu(_dense_apply(p[f"fc{i}"], x, dtype))
+    return _dense_apply(p[f"fc{num_layers - 1}"], x, dtype)
+
+
+class DecoderStep(nn.Module):
+    """nn.scan body for the decoder: query-pos embed -> one decoder layer
+    -> detached iterative box refinement (reference
+    `DINOTransformerDecoder.forward`, transformer.py:974-1045).
+
+    The refinement threads two modules whose parameters are SHARED across
+    layers and owned elsewhere (`ref_point_head` on the transformer,
+    `fc_reg` on the head) — nn.scan can only stack the per-layer
+    DecoderLayer params, so the shared params ride in as broadcast VALUES
+    (`shared` = (p_ref_head, p_fc_reg) pytrees read off the owning bound
+    modules) and are applied functionally; gradients still flow to the
+    owning scopes because the values are the enclosing apply's traced
+    params. Both are 'Mlp' instances, applied via `_mlp_apply`.
+
+    Carry: (output (B,nq,C), reference (B,nq,4) sigmoided, detached).
+    Per-step outputs: (raw layer output, refined reference) — decoder_norm
+    is applied to the stacked outputs outside the scan (elementwise over
+    layers, so identical to the reference's per-layer application)."""
+    d_model: int = 256
+    d_ffn: int = 2048
+    n_heads: int = 8
+    n_levels: int = 4
+    n_points: int = 4
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, carry, memory, pad_mask, attn_mask, vr4,
+                 spatial_shapes, shared):
+        output, reference = carry
+        p_ref_head, p_fc_reg = shared
+        ref_input = reference[:, :, None] * vr4[:, None]    # (B,nq,L,4)
+        qse = sine_embed(ref_input[:, :, 0, :], self.d_model // 2)
+        query_pos = _mlp_apply(p_ref_head, qse, 2, self.dtype)
+        output = DecoderLayer(self.d_model, self.d_ffn, self.n_heads,
+                              self.n_levels, self.n_points,
+                              dtype=self.dtype, name="layer")(
+            output, query_pos, ref_input, memory, spatial_shapes,
+            pad_mask, attn_mask)
+        new_ref = jax.nn.sigmoid(
+            _mlp_apply(p_fc_reg, output, 3, self.dtype)
+            + inverse_sigmoid(reference))
+        return ((output, jax.lax.stop_gradient(new_ref)),
+                (output, new_ref))
+
+
 class DINOTransformer(nn.Module):
     """Encoder + two-stage selection + decoder w/ iterative refinement.
 
@@ -333,13 +394,16 @@ class DINOTransformer(nn.Module):
         enc_cls = (nn.remat(EncoderLayer, static_argnums=(4,),
                             policy=msda_policy)
                    if self.remat else EncoderLayer)
-        dec_cls = (nn.remat(DecoderLayer, static_argnums=(5,),
+        # DecoderStep.__call__(self, carry, memory, pad_mask, attn_mask,
+        # vr4, spatial_shapes, shared): spatial_shapes (arg 6 incl. self)
+        # is a static python tuple
+        dec_cls = (nn.remat(DecoderStep, static_argnums=(6,),
                             policy=msda_policy)
-                   if self.remat else DecoderLayer)
+                   if self.remat else DecoderStep)
         # identical encoder layers ride ONE compiled body via nn.scan
         # (params get a leading (n_layers,) axis under "enc"); the decoder
-        # stays an unrolled loop — its per-layer box refinement threads
-        # through the head-owned fc_reg, which a scanned body can't share
+        # scans DecoderStep, which folds the shared-param refinement into
+        # the body as broadcast values (see DecoderStep docstring)
         scan_enc = nn.scan(
             enc_cls, variable_axes={"params": 0},
             split_rngs={"params": True},
@@ -348,11 +412,14 @@ class DINOTransformer(nn.Module):
         self.encoder = scan_enc(self.d_model, self.d_ffn, self.n_heads,
                                 self.n_levels, self.enc_n_points,
                                 dtype=self.dtype, name="enc")
-        self.decoder_layers = [
-            dec_cls(self.d_model, self.d_ffn, self.n_heads,
-                    self.n_levels, self.dec_n_points, dtype=self.dtype,
-                    name=f"dec_{i}")
-            for i in range(self.num_decoder_layers)]
+        scan_dec = nn.scan(
+            dec_cls, variable_axes={"params": 0},
+            split_rngs={"params": True},
+            in_axes=(nn.broadcast,) * 6,
+            length=self.num_decoder_layers)
+        self.decoder = scan_dec(self.d_model, self.d_ffn, self.n_heads,
+                                self.n_levels, self.dec_n_points,
+                                dtype=self.dtype, name="dec")
         self.decoder_norm = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)
         self.ref_point_head = Mlp(self.d_model, self.d_model, 2,
                                   dtype=self.dtype)
@@ -444,18 +511,29 @@ class DINOTransformer(nn.Module):
         """
         output = tgt if self.dtype is None else tgt.astype(self.dtype)
         reference = jax.nn.sigmoid(refpoint_unsig)
-        refs = [reference]
-        hs = []
         vr4 = jnp.concatenate([valid_ratios, valid_ratios], -1)  # (B, L, 4)
-        for lid, layer in enumerate(self.decoder_layers):
-            ref_input = reference[:, :, None] * vr4[:, None]   # (B,nq,L,4)
-            qse = sine_embed(ref_input[:, :, 0, :], self.d_model // 2)
-            query_pos = self.ref_point_head(qse)
-            output = layer(output, query_pos, ref_input, memory,
-                           spatial_shapes, pad_mask, attn_mask)
-            new_ref = jax.nn.sigmoid(
-                fc_reg(output) + inverse_sigmoid(reference))
-            reference = jax.lax.stop_gradient(new_ref)
-            refs.append(new_ref)
-            hs.append(self.decoder_norm(output))
-        return jnp.stack(hs), jnp.stack(refs)
+        if attn_mask is None:
+            # the scanned body takes a concrete mask; all-False == fully
+            # visible (DecoderLayer applies ~mask as the attention mask)
+            nq_t = tgt.shape[1]
+            attn_mask = jnp.zeros((nq_t, nq_t), bool)
+
+        # materialize the shared modules' params before the scan reads
+        # them functionally (first real application happens inside the
+        # scan body, which can't create params)
+        if self.is_initializing():
+            dummy = jnp.zeros((1, 1, 2 * self.d_model), jnp.float32)
+            _ = self.ref_point_head(dummy)
+            _ = fc_reg(jnp.zeros((1, 1, self.d_model), jnp.float32))
+        shared = (self.ref_point_head.variables["params"],
+                  fc_reg.variables["params"])
+
+        (_, _), (hs_raw, refs_out) = self.decoder(
+            (output, reference), memory, pad_mask, attn_mask, vr4,
+            spatial_shapes, shared)
+        # decoder_norm commutes with the layer stacking (elementwise over
+        # the layer axis) — one vectorized application == the reference's
+        # per-layer `self.decoder.norm` (transformer.py:1041-1045)
+        hs = self.decoder_norm(hs_raw)
+        refs = jnp.concatenate([reference[None], refs_out], axis=0)
+        return hs, refs

@@ -25,11 +25,11 @@ from .state import TrainState, copy_tree
 
 
 def migrate_scanned_encoder(tree):
-    """Migrate legacy per-layer encoder params (`enc_0`..`enc_{n-1}`,
-    written before the encoder became an nn.scan) into the stacked `enc`
-    subtree (leaves gain a leading layer axis). Checkpoints from either
-    era restore transparently; non-dict inputs / current-layout trees
-    pass through unchanged."""
+    """Migrate legacy per-layer transformer params (`enc_0`../`dec_0`..,
+    written before the encoder/decoder became nn.scans) into the stacked
+    `enc` / `dec.layer` subtrees (leaves gain a leading layer axis).
+    Checkpoints from any era restore transparently; non-dict inputs /
+    current-layout trees pass through unchanged."""
     if not isinstance(tree, dict):
         return tree
     out = {k: migrate_scanned_encoder(v) for k, v in tree.items()}
@@ -38,6 +38,12 @@ def migrate_scanned_encoder(tree):
     if enc_keys and "enc" not in out:
         layers = [out.pop(k) for k in enc_keys]
         out["enc"] = jax.tree.map(lambda *xs: np.stack(xs), *layers)
+    dec_keys = sorted((k for k in out if re.fullmatch(r"dec_\d+", k)),
+                      key=lambda k: int(k.rsplit("_", 1)[1]))
+    if dec_keys and "dec" not in out:
+        layers = [out.pop(k) for k in dec_keys]
+        out["dec"] = {"layer": jax.tree.map(lambda *xs: np.stack(xs),
+                                            *layers)}
     return out
 
 

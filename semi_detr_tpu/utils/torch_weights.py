@@ -219,9 +219,10 @@ def convert_dino_detector(state_dict: Dict[str, Any],
     # (same stacking `checkpoint.migrate_scanned_encoder` applies)
     tr["enc"] = jax.tree.map(lambda *xs: np.stack(xs), *enc_layers)
     n_dec = _count_layers(sd, t + ".decoder.layers.{}.norm1.weight")
+    dec_layers = []
     for i in range(n_dec):
         p = f"{t}.decoder.layers.{i}"
-        tr[f"dec_{i}"] = {
+        dec_layers.append({
             "cross_attn": _msda(sd, f"{p}.cross_attn"),
             "self_attn": _mha(sd, f"{p}.self_attn", n_heads),
             "norm1": _norm(sd, f"{p}.norm1"),
@@ -229,7 +230,12 @@ def convert_dino_detector(state_dict: Dict[str, Any],
             "norm3": _norm(sd, f"{p}.norm3"),
             "linear1": _lin(sd, f"{p}.linear1"),
             "linear2": _lin(sd, f"{p}.linear2"),
-        }
+        })
+    # scanned decoder: one DecoderStep body named "dec", its DecoderLayer
+    # child "layer", leaves stacked on a leading layer axis (same layout
+    # rule as "enc")
+    tr["dec"] = {"layer": jax.tree.map(lambda *xs: np.stack(xs),
+                                       *dec_layers)}
     params["transformer"] = tr
     return {"params": params, "batch_stats": {"backbone": bb_stats}}
 
@@ -420,9 +426,12 @@ def export_dino_detector(variables: Dict[str, Any],
         put_norm(f"{lp}.norm2", node["norm2"])
         put(f"{lp}.linear1", _inv_lin(node["linear1"]))
         put(f"{lp}.linear2", _inv_lin(node["linear2"]))
-    i = 0
-    while f"dec_{i}" in tr:
-        lp, node = f"{t}.decoder.layers.{i}", tr[f"dec_{i}"]
+    # scanned decoder: unstack the "dec"/"layer" leaves per layer
+    dec = tr["dec"]["layer"]
+    n_dec = np.asarray(dec["norm1"]["scale"]).shape[0]
+    for i in range(n_dec):
+        lp = f"{t}.decoder.layers.{i}"
+        node = jax.tree.map(lambda x: np.asarray(x)[i], dec)
         put_msda(f"{lp}.cross_attn", node["cross_attn"])
         mha = node["self_attn"]
         c = mha["out"]["bias"].shape[0]
@@ -442,7 +451,6 @@ def export_dino_detector(variables: Dict[str, Any],
         put_norm(f"{lp}.norm3", node["norm3"])
         put(f"{lp}.linear1", _inv_lin(node["linear1"]))
         put(f"{lp}.linear2", _inv_lin(node["linear2"]))
-        i += 1
     return sd
 
 

@@ -104,11 +104,16 @@ def test_migrate_scanned_encoder_layout():
     assert "enc_0" not in t and "enc_1" not in t
     assert t["enc"]["norm1"]["scale"].shape == (2, 4)
     np.testing.assert_allclose(t["enc"]["norm1"]["scale"][1], 1.0)
-    assert "enc_output" in t and "dec_0" in t
+    assert "enc_output" in t
+    # legacy dec_0.. restacks into the scanned dec/layer subtree
+    assert "dec_0" not in t
+    assert t["dec"]["layer"]["norm1"]["scale"].shape == (1, 4)
     # idempotent on the current layout (and under a nested detector root)
     again = migrate_scanned_encoder({"detector": out})
     assert again["detector"]["transformer"]["enc"]["norm1"][
         "scale"].shape == (2, 4)
+    assert again["detector"]["transformer"]["dec"]["layer"]["norm1"][
+        "scale"].shape == (1, 4)
     assert migrate_scanned_encoder(None) is None
 
 
@@ -184,6 +189,7 @@ def test_ssod_batch_stream_epoch_resume():
     t.multi_bucket = False
     t.bucket = (32, 40)
     t.epoch_length = 4
+    t.by_prob = False
 
     def grab(gen, n):
         return [next(gen) for _ in range(n)]
