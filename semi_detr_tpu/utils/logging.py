@@ -60,6 +60,26 @@ def log_every_n(logger: logging.Logger, msg: str, n: int = 50,
         logger.info(msg)
 
 
+def device_memory_summary():
+    """One-line HBM usage summary of device 0, or None when the backend
+    exposes no allocator stats (CPU, some tunnel clients). Peak bytes is
+    the number that matters: it bounds per-chip batch headroom."""
+    import jax
+    try:
+        stats = jax.local_devices()[0].memory_stats() or {}
+    except Exception:
+        return None
+    if "peak_bytes_in_use" not in stats:
+        return None
+    gb = 1024 ** 3
+    out = {"hbm_peak_gb": round(stats["peak_bytes_in_use"] / gb, 3)}
+    if stats.get("bytes_limit"):
+        out["hbm_limit_gb"] = round(stats["bytes_limit"] / gb, 3)
+        out["hbm_headroom_gb"] = round(
+            (stats["bytes_limit"] - stats["peak_bytes_in_use"]) / gb, 3)
+    return out
+
+
 class MetricsLogger:
     """Text + optional TensorBoard + JSONL metric sink."""
 

@@ -38,3 +38,17 @@ jax.config.update("jax_platforms", "cpu")
 def pytest_configure(config):
     config.addinivalue_line(
         "markers", "slow: multi-minute compile-heavy tests")
+    config.addinivalue_line(
+        "markers", "fast: sub-5-minute CI gate subset (auto-applied to "
+        "every test not marked slow; run with `pytest -m fast`)")
+
+
+def pytest_collection_modifyitems(config, items):
+    """Tier the suite: everything not explicitly `slow` is `fast`, so
+    `pytest -m fast` is the quick gate and `pytest -m slow` the heavy
+    parity/e2e/soak set (the full 145+-test suite no longer fits a
+    10-minute window on a 1-vCPU host)."""
+    import pytest as _pytest
+    for item in items:
+        if "slow" not in item.keywords:
+            item.add_marker(_pytest.mark.fast)
