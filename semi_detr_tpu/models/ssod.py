@@ -61,6 +61,10 @@ class SsodConfig:
     cons_groups: int = 5            # dn_number_1 (`dino_detr_ssod.py:533`)
     consistency_weight: float = 10.0
     ema_momentum: float = 0.999
+    # reference MeanTeacher hook decay schedule (`mean_teacher.py:52-57`);
+    # unused (None) in every active reference config
+    ema_decay_intervals: tuple = ()
+    ema_decay_factor: float = 0.1
 
     @property
     def cons_pad(self) -> int:

@@ -139,7 +139,8 @@ class SsodTrainer:
                  image_log_interval: int = 2000,
                  fsdp: bool = False, tp: int = 1,
                  donate: bool = False,
-                 by_prob: bool = False):
+                 by_prob: bool = False,
+                 use_wandb: bool = False):
         self.cfg = cfg
         # reference multinomial batch mixing (semi_sampler.py:113-135).
         # Opt-in: each sup/unsup composition is a distinct batch shape,
@@ -179,7 +180,7 @@ class SsodTrainer:
         self.tx = optim.make_optimizer(state.params, base_lr=lr,
                                        lr_boundaries=lr_boundaries)
         self.state = state.replace(opt_state=self.tx.init(state.params))
-        self.logger = MetricsLogger(work_dir)
+        self.logger = MetricsLogger(work_dir, use_wandb=use_wandb)
         self.ckpt = CheckpointManager(work_dir + "/ckpt",
                                       interval=ckpt_interval)
         # warm-start only on a FRESH run: if the work dir already has a
@@ -339,7 +340,8 @@ class SupervisedTrainer:
                  load_from: Optional[str] = None,
                  multi_bucket: bool = False,
                  fsdp: bool = False, tp: int = 1,
-                 donate: bool = False):
+                 donate: bool = False,
+                 use_wandb: bool = False):
         self.cfg = cfg
         self.donate = donate
         self.multi_bucket = multi_bucket
@@ -365,7 +367,7 @@ class SupervisedTrainer:
                                        lr_boundaries=lr_boundaries)
         self.state = TrainState.create(variables, self.tx,
                                        with_teacher=with_teacher)
-        self.logger = MetricsLogger(work_dir)
+        self.logger = MetricsLogger(work_dir, use_wandb=use_wandb)
         self.ckpt = CheckpointManager(work_dir + "/ckpt",
                                       interval=ckpt_interval)
         # warm-start only on a fresh run (see SsodTrainer)

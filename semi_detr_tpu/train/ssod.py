@@ -35,7 +35,7 @@ from ..models.ssod import (Projector, SsodConfig, combined_attn_mask,
                            transform_pseudo_to_student)
 from ..ops.gmm import fit_gmm_threshold
 from ..ops.roi_align import multi_level_roi_align
-from .state import TrainState, copy_tree, ema_update
+from .state import TrainState, copy_tree, ema_momentum, ema_update
 
 
 def _unsup_forward_and_loss(detector: DINODetector, projector: Projector,
@@ -224,7 +224,9 @@ def make_ssod_train_step(detector: DINODetector, projector: Projector,
 
     def step_fn(state: TrainState, batch: Dict[str, Any], rng: jax.Array):
         teacher = ema_update(state.teacher_params, state.params["detector"],
-                             state.step, cfg.ema_momentum)
+                             state.step, cfg.ema_momentum,
+                             decay_intervals=cfg.ema_decay_intervals,
+                             decay_factor=cfg.ema_decay_factor)
         rng_sup, rng_unsup = jax.random.split(
             jax.random.fold_in(rng, state.step))
 
@@ -256,6 +258,11 @@ def make_ssod_train_step(detector: DINODetector, projector: Projector,
         metrics.update(losses)
         metrics["total_loss"] = total
         metrics["grad_norm"] = optax.global_norm(grads)
+        # reference logs the effective momentum each iter (mean_teacher.py:49)
+        metrics["ema_momentum"] = ema_momentum(
+            state.step, cfg.ema_momentum,
+            decay_intervals=cfg.ema_decay_intervals,
+            decay_factor=cfg.ema_decay_factor)
         new_state = state.replace(step=state.step + 1, params=params,
                                   teacher_params=teacher,
                                   opt_state=opt_state)

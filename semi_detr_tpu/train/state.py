@@ -54,17 +54,34 @@ class TrainState:
 
 
 def ema_momentum(step: jax.Array, momentum: float = 0.999,
-                 warm_up: int = 0) -> jax.Array:
+                 warm_up: int = 0, decay_intervals=(),
+                 decay_factor: float = 0.1) -> jax.Array:
     """Reference `MeanTeacher.before_train_iter` ramp
-    (`mean_teacher.py:46-50`): min(momentum, 1 - (1+warm)/(step+1+warm))."""
-    ramp = 1.0 - (1.0 + warm_up) / (step.astype(jnp.float32) + 1.0 + warm_up)
-    return jnp.minimum(jnp.float32(momentum), ramp)
+    (`mean_teacher.py:46-50`): min(momentum, 1 - (1+warm)/(step+1+warm)).
+
+    `decay_intervals`/`decay_factor` reproduce `after_train_iter`
+    (`mean_teacher.py:52-57`), which mutates self.momentum CUMULATIVELY
+    every iteration:  1-m  <-  (1-m) / f^bisect_right(intervals, step).
+    Unrolled to the closed form used here:
+        1 - m(t) = (1 - m0) / f^E(t),  E(t) = sum_i max(0, t - intervals_i).
+    (With the default f=0.1 this makes 1-m GROW 10x per iteration past the
+    first interval — the reference's literal behavior, reproduced
+    faithfully; its active configs leave decay_intervals=None.)"""
+    stepf = step.astype(jnp.float32)
+    m0 = jnp.float32(momentum)
+    if decay_intervals:
+        iv = jnp.asarray(decay_intervals, jnp.float32)
+        exponent = jnp.maximum(stepf[..., None] - iv, 0.0).sum(-1)
+        m0 = 1.0 - (1.0 - m0) * jnp.float32(decay_factor) ** (-exponent)
+    ramp = 1.0 - (1.0 + warm_up) / (stepf + 1.0 + warm_up)
+    return jnp.minimum(m0, ramp)
 
 
 def ema_update(teacher_params, student_params, step: jax.Array,
-               momentum: float = 0.999, warm_up: int = 0):
+               momentum: float = 0.999, warm_up: int = 0,
+               decay_intervals=(), decay_factor: float = 0.1):
     """teacher <- m*teacher + (1-m)*student (`mean_teacher.py:60-64`)."""
-    m = ema_momentum(step, momentum, warm_up)
+    m = ema_momentum(step, momentum, warm_up, decay_intervals, decay_factor)
     return jax.tree.map(
         lambda t, s: t * m + s.astype(t.dtype) * (1.0 - m),
         teacher_params, student_params)

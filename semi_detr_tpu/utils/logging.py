@@ -84,7 +84,8 @@ class MetricsLogger:
     """Text + optional TensorBoard + JSONL metric sink."""
 
     def __init__(self, work_dir: str, use_tensorboard: bool = True,
-                 interval: int = 50):
+                 interval: int = 50, use_wandb: bool = False,
+                 wandb_init_kwargs: Optional[Dict[str, Any]] = None):
         self.work_dir = work_dir
         os.makedirs(work_dir, exist_ok=True)
         self.logger = get_logger(
@@ -98,6 +99,17 @@ class MetricsLogger:
                 self.tb = SummaryWriter(os.path.join(work_dir, "tb"))
             except Exception:
                 self.logger.warning("tensorboardX unavailable; TB disabled")
+        # reference WandbLoggerHook (`base_dino_detr_ssod_coco.py:258-268`):
+        # gated on the wandb package actually being importable — absent in
+        # this sandbox, so TB/JSONL remain the primary sinks
+        self.wandb = None
+        if use_wandb:
+            try:
+                import wandb
+                wandb.init(dir=work_dir, **(wandb_init_kwargs or {}))
+                self.wandb = wandb
+            except Exception:
+                self.logger.warning("wandb unavailable; wandb disabled")
         self._t_last = time.perf_counter()
         self._step_last = 0
 
@@ -124,6 +136,9 @@ class MetricsLogger:
         if self.tb:
             for k, v in scalars.items():
                 self.tb.add_scalar(f"{prefix}/{k}", v, step)
+        if self.wandb:
+            self.wandb.log({f"{prefix}/{k}": v for k, v in scalars.items()},
+                           step=step)
 
     def log_eval(self, step: int, results: Dict[str, Any],
                  tag: str = "teacher"):
@@ -135,11 +150,16 @@ class MetricsLogger:
             for k, v in results.items():
                 if isinstance(v, float):
                     self.tb.add_scalar(f"eval_{tag}/{k}", v, step)
+        if self.wandb:
+            self.wandb.log({f"eval_{tag}/{k}": v for k, v in results.items()
+                            if isinstance(v, float)}, step=step)
 
     def close(self):
         self.jsonl.close()
         if self.tb:
             self.tb.close()
+        if self.wandb:
+            self.wandb.finish()
 
 
 def log_image_with_boxes(work_dir: str, tag: str, step: int,

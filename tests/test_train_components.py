@@ -31,6 +31,53 @@ def test_ema_update_blend():
     np.testing.assert_allclose(np.asarray(out0["w"]), 0.0, atol=1e-6)
 
 
+def test_ema_decay_intervals_matches_reference_hook():
+    """Closed form vs a direct simulation of the reference MeanTeacher
+    hook's cumulative after_train_iter mutation (mean_teacher.py:52-57)."""
+    from bisect import bisect_right
+
+    intervals, m0 = [3, 7], 0.9
+    for factor in (10.0, 2.0):     # sane direction (1-m shrinks)
+        m_sim = m0
+        for t in range(12):
+            used = min(m_sim, 1 - 1 / (t + 1))     # before_train_iter
+            ours = float(ema_momentum(jnp.int32(t), m0,
+                                      decay_intervals=tuple(intervals),
+                                      decay_factor=factor))
+            assert ours == pytest.approx(used, rel=1e-5), (factor, t)
+            m_sim = 1 - (1 - m_sim) / factor ** bisect_right(intervals, t)
+    # empty intervals == plain ramp
+    a = float(ema_momentum(jnp.int32(9), 0.999))
+    b = float(ema_momentum(jnp.int32(9), 0.999, decay_intervals=()))
+    assert a == b
+
+
+def test_metrics_logger_wandb_sink(tmp_path, monkeypatch):
+    """use_wandb mirrors scalars into the (gated) wandb module."""
+    import sys
+    import types
+
+    calls = {"log": [], "init": [], "finish": 0}
+    fake = types.ModuleType("wandb")
+    fake.init = lambda **kw: calls["init"].append(kw)
+    fake.log = lambda d, step=None: calls["log"].append((step, d))
+
+    def _fin():
+        calls["finish"] += 1
+    fake.finish = _fin
+    monkeypatch.setitem(sys.modules, "wandb", fake)
+
+    from semi_detr_tpu.utils.logging import MetricsLogger
+    lg = MetricsLogger(str(tmp_path), use_tensorboard=False,
+                       interval=1, use_wandb=True)
+    lg.log_step(1, {"total_loss": jnp.float32(2.0)})
+    lg.log_eval(1, {"bbox_mAP": 0.4})
+    lg.close()
+    assert calls["init"] and calls["finish"] == 1
+    assert any("train/total_loss" in d for _, d in calls["log"])
+    assert any("eval_teacher/bbox_mAP" in d for _, d in calls["log"])
+
+
 def test_step_schedule_and_warmup():
     s = step_schedule([1.0, 0.5, 0.1], [100, 200])
     assert float(s(jnp.int32(0))) == 1.0

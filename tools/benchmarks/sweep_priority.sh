@@ -14,8 +14,10 @@ TPULOCK=/tmp/sdt_tpu.lock
 # Cheap TPU-alive probe (bounded lock wait + bounded python): a dead
 # tunnel should skip a step in ~2 min, not hang it for 2700 s or let it
 # silently fall back to CPU and pollute the A/B timings.
+# 400s probe budget: a healthy tunnel has been observed taking ~150s
+# for the first dispatch of a fresh process (r4).
 probe() {
-  flock -w 120 "$TPULOCK" timeout 60 python -c "
+  flock -w 600 "$TPULOCK" timeout 400 python -c "
 import jax
 assert jax.devices()[0].platform == 'tpu'
 import jax.numpy as jnp

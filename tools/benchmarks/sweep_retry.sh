@@ -12,8 +12,12 @@ export JAX_COMPILATION_CACHE_DIR=/tmp/jax_cache_tpu
 export JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS=1
 TPULOCK=/tmp/sdt_tpu.lock
 
+# 400s probe budget: the axon tunnel has been observed taking ~150s for
+# the FIRST dispatch of a fresh process even when perfectly healthy
+# (r4: 8x8 matmul = 147s). A 60-90s probe misreads that as a dead
+# tunnel and skips runnable steps.
 probe() {
-  flock -w 120 "$TPULOCK" timeout 90 python -c "
+  flock -w 600 "$TPULOCK" timeout 400 python -c "
 import jax
 assert jax.devices()[0].platform == 'tpu'
 import jax.numpy as jnp

@@ -85,6 +85,8 @@ def dino_config(cfg) -> DinoConfig:
 def ssod_config(cfg) -> SsodConfig:
     s = dict(cfg.get("ssod", {}))
     s.pop("type", None)
+    if "ema_decay_intervals" in s:
+        s["ema_decay_intervals"] = tuple(s["ema_decay_intervals"] or ())
     return SsodConfig(dino=dino_config(cfg), **s)
 
 

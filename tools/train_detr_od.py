@@ -39,7 +39,8 @@ def main():
         multi_bucket=bool(cfg.get("multi_bucket", False)),
         fsdp=bool(cfg.get("fsdp", False)),
         tp=int(cfg.get("tp", 1)),
-        donate=bool(cfg.get("donate", False)))
+        donate=bool(cfg.get("donate", False)),
+        use_wandb=bool(cfg.get("use_wandb", False)))
     if args.resume_from:
         trainer.resume(args.resume_from)
     elif trainer.ckpt.latest_step() is not None:

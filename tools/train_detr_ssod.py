@@ -51,7 +51,8 @@ def main():
         image_log_interval=int(cfg.get("image_log_interval", 2000)),
         fsdp=bool(cfg.get("fsdp", False)),
         tp=int(cfg.get("tp", 1)),
-        donate=bool(cfg.get("donate", False)))
+        donate=bool(cfg.get("donate", False)),
+        use_wandb=bool(cfg.get("use_wandb", False)))
     if args.resume_from:
         trainer.resume(args.resume_from)
     elif trainer.ckpt.latest_step() is not None:
