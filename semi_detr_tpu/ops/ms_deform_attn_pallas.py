@@ -63,12 +63,16 @@ _SKIP_DLOC = os.environ.get("SDT_BWD_SKIP_DLOC") == "1"   # no da/dloc dots
 _SKIP_DV = os.environ.get("SDT_BWD_SKIP_DV") == "1"       # no C/matmul/dv
 _FWD_NO_GATHER = os.environ.get("SDT_FWD_NO_GATHER") == "1"
 
-# Packed-bf16 forward gather (EXPERIMENT, default off): two bf16
-# channels ride each 32-bit lane, halving gather vreg traffic. Only
-# meaningful when the value tensor is already bf16 (the flagship
-# config); enable with SDT_PACKED_GATHER=1 and A/B on chip via
-# tools/benchmarks/sweep_on_chip.sh before making it a default.
-_PACKED_GATHER = os.environ.get("SDT_PACKED_GATHER") == "1"
+# Packed-bf16 gathers (DEFAULT ON for bf16 values): two bf16 channels
+# ride each 32-bit lane, halving gather vreg traffic in both the forward
+# accumulate and the backward dot phase — the measured hot spot of both
+# passes (r4 A/B, encoder scale N=2: fwd 51.0 -> 38.7 ms; ablations show
+# the bwd is equally gather-bound). EXACT for bf16 value tensors (the
+# flagship config): bf16 -> f32 widening is lossless, and the dv scatter
+# matmul never touches the packed lanes. f32 values keep the unpacked
+# path (packing would round them). SDT_PACKED_GATHER=0 is the kill
+# switch for A/Bs.
+_PACKED_GATHER = os.environ.get("SDT_PACKED_GATHER", "1") == "1"
 
 # bf16 scatter matrix C in the backward (EXPERIMENT, default off): the
 # offline vreg model (ROADMAP P0.6) says building the (128,128) one-hot
@@ -416,7 +420,8 @@ def ms_deform_attn_pallas(value: jax.Array,
 def _bwd_kernel(locx_ref, locy_ref, attn_ref, g_ref, gT_ref, value_ref,
                 dv_ref, dlx_ref, dly_ref, da_ref, *,
                 spatial_shapes: Tuple[Tuple[int, int], ...],
-                n_points: int, c_bf16: bool = False):
+                n_points: int, c_bf16: bool = False,
+                packed: bool = False):
     """Windowed backward, one combined scatter matmul per window.
 
     Math matches XLA autodiff of the oracle exactly: for corner c with
@@ -428,9 +433,16 @@ def _bwd_kernel(locx_ref, locy_ref, attn_ref, g_ref, gT_ref, value_ref,
     The dV scatter builds C[token, query] = sum of masked one-hots over
     all 16 (point, corner) pairs, then ONE f32 MXU matmul C @ g per
     window accumulates into the revisited dv block.
+
+    packed: value tile rows are pair-packed bf16 lanes (D/2 rows); the
+    <g, V_c> dots halve their gather traffic by unpacking after the
+    gather. g_ref rows arrive pre-deinterleaved ([even; odd] channel
+    halves) so the unpacked pair lines up without a strided slice.
+    The dv path (C @ gT) is untouched — C is channel-independent.
     """
     P = n_points
-    D = g_ref.shape[2]
+    D = gT_ref.shape[3]
+    dg = value_ref.shape[3]                 # gather rows (D or D/2)
     geom, _ = _tile_geom(spatial_shapes)
     q_id = pl.program_id(2)
 
@@ -440,6 +452,8 @@ def _bwd_kernel(locx_ref, locy_ref, attn_ref, g_ref, gT_ref, value_ref,
 
     g = g_ref[0, 0]                                     # (D, BQ)
     gT = gT_ref[0, 0]                                   # (BQ, D)
+    if packed:
+        ge, go = g[:dg], g[dg:]                         # (D/2, BQ) halves
     c_dt = jnp.bfloat16 if c_bf16 else jnp.float32
     if c_bf16:
         gT = gT.astype(jnp.bfloat16)    # one native MXU pass for C @ g
@@ -473,8 +487,14 @@ def _bwd_kernel(locx_ref, locy_ref, attn_ref, g_ref, gT_ref, value_ref,
                 dots = []
                 for p in range(P):
                     lane_r = lanes[ci][p:p + 1]          # (1, BQ)
-                    gath = _gather(tile, lane_r, D)
-                    dots.append(jnp.sum(g * gath, axis=0, keepdims=True))
+                    gath = _gather(tile, lane_r, dg)
+                    if packed:
+                        even, odd = _unpack_bf16_pair(gath)
+                        dots.append(jnp.sum(ge * even + go * odd,
+                                            axis=0, keepdims=True))
+                    else:
+                        dots.append(jnp.sum(g * gath, axis=0,
+                                            keepdims=True))
                     if not _SKIP_DV:
                         onehot = iota_tok == jnp.broadcast_to(lane_r,
                                                               (_BQ, _BQ))
@@ -509,24 +529,32 @@ def _bwd_kernel(locx_ref, locy_ref, attn_ref, g_ref, gT_ref, value_ref,
 
 @functools.partial(jax.jit,
                    static_argnames=("spatial_shapes", "interpret",
-                                    "c_bf16"))
+                                    "c_bf16", "packed"))
 def ms_deform_attn_bwd_pallas(value, spatial_shapes, sampling_locations,
                               attention_weights, cotangent,
                               interpret: bool = False,
-                              c_bf16: bool = None):
+                              c_bf16: bool = None,
+                              packed: bool = None):
     """Backward of ms_deform_attn: returns (d_value, d_locations,
     d_attention_weights) given the output cotangent (N, Lq, M*D).
 
     c_bf16: build the d_value scatter matrix in bf16 (see _BWD_C_BF16);
-    None reads SDT_BWD_C_BF16."""
+    None reads SDT_BWD_C_BF16.
+    packed: pair-packed bf16 value gathers (see _PACKED_GATHER); None =
+    on for bf16 value tensors (exact there — the gathers only feed the
+    d_loc/d_attn dots; dv's scatter matmul bypasses the packed lanes)."""
     if c_bf16 is None:
         c_bf16 = _BWD_C_BF16
     N, S, M, D = value.shape
+    if packed is None:
+        packed = (_PACKED_GATHER and value.dtype == jnp.bfloat16
+                  and D % 2 == 0)
     _, Lq, _, L, P, _ = sampling_locations.shape
     taps = L * P
     geom, NT = _tile_geom(spatial_shapes)
     v, locx, locy, attn, tiled_q, lq_t = _prep_inputs(
-        value, spatial_shapes, sampling_locations, attention_weights)
+        value, spatial_shapes, sampling_locations, attention_weights,
+        packed=packed)
 
     gq = cotangent.astype(jnp.float32).reshape(N, Lq, M, D)
     if tiled_q:
@@ -535,10 +563,14 @@ def ms_deform_attn_bwd_pallas(value, spatial_shapes, sampling_locations,
         gq = jnp.pad(gq, ((0, 0), (0, lq_t - Lq), (0, 0), (0, 0)))
     gT = gq.transpose(0, 2, 1, 3)                        # (N, M, lq, D)
     g = gT.transpose(0, 1, 3, 2)                         # (N, M, D, lq)
+    if packed:
+        # deinterleave g's channel rows into [even; odd] halves so the
+        # kernel's unpacked (even, odd) tiles line up row-for-row
+        g = jnp.concatenate([g[:, :, 0::2], g[:, :, 1::2]], axis=2)
 
     grid = (N, M, lq_t // _BQ)
     kernel = functools.partial(_bwd_kernel, spatial_shapes=spatial_shapes,
-                               n_points=P, c_bf16=c_bf16)
+                               n_points=P, c_bf16=c_bf16, packed=packed)
 
     def spec(shape, imap):
         return pl.BlockSpec(shape, imap, memory_space=pltpu.VMEM)
@@ -552,7 +584,8 @@ def ms_deform_attn_bwd_pallas(value, spatial_shapes, sampling_locations,
             spec((1, 1, taps, _BQ), lambda n, m, q: (n, m, 0, q)),
             spec((1, 1, D, _BQ), lambda n, m, q: (n, m, 0, q)),
             spec((1, 1, _BQ, D), lambda n, m, q: (n, m, q, 0)),
-            spec((1, 1, NT, D, _BQ), lambda n, m, q: (n, m, 0, 0, 0)),
+            spec((1, 1, NT, D // 2 if packed else D, _BQ),
+                 lambda n, m, q: (n, m, 0, 0, 0)),
         ],
         out_specs=[
             spec((1, 1, NT, _BQ, D), lambda n, m, q: (n, m, 0, 0, 0)),

@@ -210,3 +210,41 @@ def test_bwd_c_bf16_dv_close_dloc_dattn_exact():
         "bf16 path took effect (dv differs at f32 exactness)"
     np.testing.assert_array_equal(np.asarray(dlb), np.asarray(dl32))
     np.testing.assert_array_equal(np.asarray(dab), np.asarray(da32))
+
+
+def test_packed_bwd_matches_bf16_oracle_vjp():
+    """Packed backward: with a bf16 value tensor, the packed-gather bwd
+    must match the oracle's autodiff on the (losslessly) f32-widened
+    value EXACTLY in structure and tightly in value — the gathers only
+    feed the d_loc/d_attn dots; dv's scatter matmul bypasses packing."""
+    from semi_detr_tpu.ops.ms_deform_attn_pallas import \
+        ms_deform_attn_bwd_pallas
+    rs = np.random.RandomState(29)
+    v, loc, aw = _inputs(rs, d=8, lq=16)
+    vb = v.astype(jnp.bfloat16)
+    vf = vb.astype(jnp.float32)
+    g = jnp.asarray(rs.randn(1, 16, 2 * 8).astype(np.float32))
+    _, vjp = jax.vjp(lambda v_, l, a: ms_deform_attn(vf, SHAPES, l, a)
+                     if False else ms_deform_attn(v_, SHAPES, l, a),
+                     vf, loc, aw)
+    dv_ref, dl_ref, da_ref = vjp(g)
+    dv, dl, da = ms_deform_attn_bwd_pallas(vb, SHAPES, loc, aw, g,
+                                           interpret=True, packed=True)
+    # d_value is returned in value's dtype (bf16 here) -> ~0.4% rounding
+    np.testing.assert_allclose(np.asarray(dv, np.float32),
+                               np.asarray(dv_ref), rtol=5e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(dl), np.asarray(dl_ref),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(da), np.asarray(da_ref),
+                               rtol=1e-4, atol=1e-5)
+    # vs the unpacked bwd on the same bf16 value: dv's scatter matmul
+    # bypasses packing -> bit-identical; dl/da dots reduce as
+    # (even+odd) halves -> reduction-order-only noise
+    dv2, dl2, da2 = ms_deform_attn_bwd_pallas(vb, SHAPES, loc, aw, g,
+                                              interpret=True, packed=False)
+    np.testing.assert_array_equal(np.asarray(dv, np.float32),
+                                  np.asarray(dv2, np.float32))
+    np.testing.assert_allclose(np.asarray(dl), np.asarray(dl2),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(da), np.asarray(da2),
+                               rtol=1e-5, atol=1e-6)
