@@ -65,6 +65,9 @@ class DinoConfig:
     max_gt: int = 100            # GT padding capacity per image
     dtype: Any = jnp.float32     # compute dtype for backbone/transformer
     remat: bool = False          # jax.checkpoint per transformer layer
+    # encoder/decoder token streams in kernel tile order (see
+    # DINOTransformer.tiled_tokens); numerics-preserving perf default
+    tiled_tokens: bool = True
 
     @property
     def dn_pad_size(self) -> int:
@@ -148,7 +151,8 @@ class DINODetector(nn.Module):
             num_encoder_layers=c.num_encoder_layers,
             num_decoder_layers=c.num_decoder_layers, d_ffn=c.d_ffn,
             n_levels=c.n_levels, enc_n_points=c.enc_n_points,
-            dec_n_points=c.dec_n_points, remat=c.remat, dtype=c.dtype)
+            dec_n_points=c.dec_n_points, remat=c.remat,
+            tiled_tokens=c.tiled_tokens, dtype=c.dtype)
 
         self.fc_cls = ClsHead(c.num_classes, dtype=c.dtype)  # shared
         self.fc_reg = Mlp(c.d_model, 4, 3, last_zero_init=True,
@@ -217,8 +221,15 @@ class DINODetector(nn.Module):
             refpoint_unsig = jnp.concatenate(
                 [extra_ref_unsig, refpoint_unsig], 1)
 
+        # under tiled_tokens the decoder consumes the pre-tiled memory
+        # twin written by encode() (one tile permute per encode, zero per
+        # decode pass)
+        mem = enc["memory_t"] if enc.get("memory_t") is not None \
+            else enc["memory"]
+        pad = enc["pad_mask_t"] if enc.get("pad_mask_t") is not None \
+            else enc["pad_mask"]
         hs, refs = self.transformer.decode(
-            enc["memory"], enc["pad_mask"], enc["valid_ratios"],
+            mem, pad, enc["valid_ratios"],
             enc["spatial_shapes"], tgt, refpoint_unsig, attn_mask,
             self.fc_reg)
 

@@ -125,6 +125,11 @@ class MSDeformAttention(nn.Module):
     n_levels: int = 4
     n_points: int = 4
     dtype: Any = None
+    # pre-tiled token layouts (see ops.ms_deform_attn_pallas._prep_inputs):
+    # value_tiled = value_src's token axis is in kernel tile order;
+    # queries_tiled = query/reference_points are too (fully tiled encoder)
+    value_tiled: bool = False
+    queries_tiled: bool = False
 
     @nn.compact
     def __call__(self, query, reference_points, value_src, spatial_shapes,
@@ -168,7 +173,9 @@ class MSDeformAttention(nn.Module):
         from ..ops.ms_deform_attn_pallas import ms_deform_attn_auto
         out = ms_deform_attn_auto(value, tuple(spatial_shapes),
                                   loc.astype(jnp.float32),
-                                  attn.astype(jnp.float32))
+                                  attn.astype(jnp.float32),
+                                  value_tiled=self.value_tiled,
+                                  queries_tiled=self.queries_tiled)
         from jax.ad_checkpoint import checkpoint_name
         out = checkpoint_name(out, "msda_out")
         return nn.Dense(self.d_model, kernel_init=xavier_uniform,
@@ -190,12 +197,15 @@ class EncoderLayer(nn.Module):
     n_levels: int = 4
     n_points: int = 4
     dtype: Any = None
+    tiled: bool = False     # all token tensors arrive in kernel tile order
 
     @nn.compact
     def __call__(self, src, pos, reference_points, spatial_shapes,
                  key_padding_mask):
         h = MSDeformAttention(self.d_model, self.n_heads, self.n_levels,
                               self.n_points, dtype=self.dtype,
+                              value_tiled=self.tiled,
+                              queries_tiled=self.tiled,
                               name="self_attn")(
             src + pos, reference_points, src, spatial_shapes,
             key_padding_mask)
@@ -258,6 +268,7 @@ class DecoderLayer(nn.Module):
     n_levels: int = 4
     n_points: int = 4
     dtype: Any = None
+    value_tiled: bool = False    # memory's token axis in kernel tile order
 
     @nn.compact
     def __call__(self, tgt, query_pos, reference_points_input, memory,
@@ -278,6 +289,7 @@ class DecoderLayer(nn.Module):
         # cross attention
         h = MSDeformAttention(self.d_model, self.n_heads, self.n_levels,
                               self.n_points, dtype=self.dtype,
+                              value_tiled=self.value_tiled,
                               name="cross_attn")(
             tgt + query_pos, reference_points_input, memory, spatial_shapes,
             memory_key_padding_mask)
@@ -331,6 +343,7 @@ class DecoderStep(nn.Module):
     n_levels: int = 4
     n_points: int = 4
     dtype: Any = None
+    value_tiled: bool = False
 
     @nn.compact
     def __call__(self, carry, memory, pad_mask, attn_mask, vr4,
@@ -342,7 +355,8 @@ class DecoderStep(nn.Module):
         query_pos = _mlp_apply(p_ref_head, qse, 2, self.dtype)
         output = DecoderLayer(self.d_model, self.d_ffn, self.n_heads,
                               self.n_levels, self.n_points,
-                              dtype=self.dtype, name="layer")(
+                              dtype=self.dtype,
+                              value_tiled=self.value_tiled, name="layer")(
             output, query_pos, ref_input, memory, spatial_shapes,
             pad_mask, attn_mask)
         new_ref = jax.nn.sigmoid(
@@ -372,6 +386,15 @@ class DINOTransformer(nn.Module):
     # (the encoder's per-layer sampling tensors are ~300MB/layer at DINO
     # scale; remat is what makes flagship-scale training fit HBM)
     remat: bool = False
+    # run the encoder fully in the attention kernel's tile order (tile
+    # the token stream ONCE before the 6-layer scan, untile once after)
+    # and feed the decoder's cross-attention a pre-tiled memory: the r4
+    # profile attributed 40% of the SSOD step to the per-layer
+    # tile/untile permutes this removes. Numerics-preserving: the tile
+    # permutation is a bijection on real tokens, padding slots are
+    # sentinel-masked in the kernel, and the CPU/oracle dispatch untiles
+    # around the call.
+    tiled_tokens: bool = True
     dtype: Any = None
 
     def setup(self):
@@ -411,7 +434,8 @@ class DINOTransformer(nn.Module):
             length=self.num_encoder_layers)
         self.encoder = scan_enc(self.d_model, self.d_ffn, self.n_heads,
                                 self.n_levels, self.enc_n_points,
-                                dtype=self.dtype, name="enc")
+                                dtype=self.dtype,
+                                tiled=self.tiled_tokens, name="enc")
         scan_dec = nn.scan(
             dec_cls, variable_axes={"params": 0},
             split_rngs={"params": True},
@@ -419,7 +443,8 @@ class DINOTransformer(nn.Module):
             length=self.num_decoder_layers)
         self.decoder = scan_dec(self.d_model, self.d_ffn, self.n_heads,
                                 self.n_levels, self.dec_n_points,
-                                dtype=self.dtype, name="dec")
+                                dtype=self.dtype,
+                                value_tiled=self.tiled_tokens, name="dec")
         self.decoder_norm = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)
         self.ref_point_head = Mlp(self.d_model, self.d_model, 2,
                                   dtype=self.dtype)
@@ -460,8 +485,25 @@ class DINOTransformer(nn.Module):
 
         # ---------------- encoder (scanned: one compiled layer body)
         enc_ref = encoder_reference_points(spatial_shapes, vr)
-        memory, _ = self.encoder(src_flat, pos_flat, enc_ref,
-                                 spatial_shapes, pad_mask)
+        memory_t = None
+        pad_mask_t = None
+        if self.tiled_tokens:
+            # one tile permute per tensor for the WHOLE encoder; every
+            # per-layer kernel call then runs layout-free, and the scan
+            # output doubles as the decoder's pre-tiled memory
+            from ..ops.ms_deform_attn_pallas import (_tile_tokens,
+                                                     _untile_tokens)
+            src_t = _tile_tokens(src_flat, spatial_shapes)
+            pos_t = _tile_tokens(pos_flat, spatial_shapes)
+            ref_t = _tile_tokens(enc_ref, spatial_shapes)
+            # zero-pad of `valid` marks the static tile-pad slots as PAD
+            pad_mask_t = ~_tile_tokens(~pad_mask, spatial_shapes)
+            memory_t, _ = self.encoder(src_t, pos_t, ref_t,
+                                       spatial_shapes, pad_mask_t)
+            memory = _untile_tokens(memory_t, spatial_shapes)
+        else:
+            memory, _ = self.encoder(src_flat, pos_flat, enc_ref,
+                                     spatial_shapes, pad_mask)
 
         # ---------------- two-stage selection
         proposals = make_proposals(spatial_shapes, vr)  # (B, S, 4)
@@ -489,6 +531,10 @@ class DINOTransformer(nn.Module):
         return {
             "memory": memory,
             "pad_mask": pad_mask,
+            # pre-tiled twins for the decoder's cross-attention (None
+            # when tiled_tokens is off)
+            "memory_t": memory_t,
+            "pad_mask_t": pad_mask_t,
             "valid_ratios": vr,
             "tgt": tgt,
             "refpoint_unsig": refpoint_unsig,
@@ -505,6 +551,8 @@ class DINOTransformer(nn.Module):
         tgt: (B, nq_t, C) content queries (front blocks + matching).
         refpoint_unsig: (B, nq_t, 4) unsigmoided reference boxes.
         attn_mask: (nq_t, nq_t) bool True=blocked, or None.
+        memory/pad_mask: under tiled_tokens these must be the PRE-TILED
+        twins from encode() ("memory_t"/"pad_mask_t").
 
         Returns (hs (n_dec, B, nq_t, C) normed, refs (n_dec+1, B, nq_t, 4)
         sigmoided).

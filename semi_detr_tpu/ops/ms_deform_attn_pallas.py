@@ -149,6 +149,22 @@ def _untile_tokens(x: jax.Array,
     return jnp.concatenate(outs, axis=1)
 
 
+@functools.lru_cache(maxsize=None)
+def _real_token_mask(spatial_shapes: Tuple[Tuple[int, int], ...]):
+    """(S_t,) bool: which tile-order slots hold real tokens (the rest are
+    the 8x16 tile padding). Static per geometry — used to sentinel-mask
+    pre-tiled query slots so garbage loc/attn in padding slots can't
+    inflate the kernel's sweep rectangles."""
+    import numpy as np
+    outs = []
+    for (h, w, hp, wp, ntr, ntc, _, _) in _tile_geom(spatial_shapes)[0]:
+        m = np.zeros((hp, wp), bool)
+        m[:h, :w] = True
+        m = m.reshape(ntr, _TH, ntc, _TW).transpose(0, 2, 1, 3)
+        outs.append(m.reshape(-1))
+    return np.concatenate(outs)
+
+
 def _corner_terms(locx, locy, attn, spatial_shapes, n_points):
     """Shared fwd/bwd tap math on full (L*P, BQ) tiles.
 
@@ -288,21 +304,34 @@ def _fwd_kernel(locx_ref, locy_ref, attn_ref, value_ref, out_ref, *,
 
 
 def _prep_inputs(value, spatial_shapes, sampling_locations,
-                 attention_weights, packed: bool = False):
+                 attention_weights, packed: bool = False,
+                 value_tiled: bool = False, queries_tiled: bool = False):
     """Common host-side layout for fwd/bwd: tiled value slab + kernel
     query layouts. Returns (v, locx, locy, attn, tiled_q, lq_t).
 
     packed: bf16 value channels pair-packed into i32 lanes
-    ((odd << 16) | even), slab shape (N, M, NT, D/2, 128)."""
-    N, S, M, D = value.shape
+    ((odd << 16) | even), slab shape (N, M, NT, D/2, 128).
+    value_tiled: value's token axis is ALREADY in tile order (length
+    NT*128) — the per-level pad/permute is skipped and only the cheap
+    slab transpose remains. queries_tiled: loc/attn are already in tile
+    order too (encoder running fully tiled); the static padding slots
+    get the -1 sentinel from `_real_token_mask` and no query permute or
+    output untile happens."""
+    N, S_in, M, D = value.shape
     _, Lq, _, L, P, _ = sampling_locations.shape
-    assert sum(h * w for h, w in spatial_shapes) == S
     geom, NT = _tile_geom(spatial_shapes)
+    s_row = sum(h * w for h, w in spatial_shapes)
+    assert S_in == (NT * _BQ if value_tiled else s_row)
 
     loc = sampling_locations.astype(jnp.float32)
     attn = attention_weights.astype(jnp.float32)
-    tiled_q = (Lq == S)
-    if tiled_q:
+    tiled_q = False
+    if queries_tiled:
+        assert Lq == NT * _BQ
+        real = jnp.asarray(_real_token_mask(spatial_shapes))
+        attn = jnp.where(real[None, :, None, None, None], attn, -1.0)
+        lq_t = Lq
+    elif Lq == s_row:
         # encoder self-attention: queries are the tokens — permute them
         # into tile order so each 128-query block is an 8x16px patch.
         # Padded rows get the sentinel attn == -1 (the +1/-1 trick rides
@@ -310,6 +339,7 @@ def _prep_inputs(value, spatial_shapes, sampling_locations,
         # taps with attn exactly 0 keep their oracle-exact d_attn.
         # Constraint (documented): attention_weights must be >= 0
         # (softmax outputs) — negative values are reserved for padding.
+        tiled_q = True
         loc = _tile_tokens(loc, spatial_shapes)
         attn = _tile_tokens(attn + 1.0, spatial_shapes) - 1.0
         lq_t = attn.shape[1]
@@ -324,15 +354,19 @@ def _prep_inputs(value, spatial_shapes, sampling_locations,
     # bf16 lanes when `packed` (halves gather vreg traffic)
     if packed:
         assert D % 2 == 0, D
-        vb = _tile_tokens(value.astype(jnp.bfloat16), spatial_shapes)
+        vb = value.astype(jnp.bfloat16)
+        if not value_tiled:
+            vb = _tile_tokens(vb, spatial_shapes)
         vb = vb.reshape(N, NT, _BQ, M, D).transpose(0, 3, 1, 4, 2)
         u = jax.lax.bitcast_convert_type(vb, jnp.uint16).astype(jnp.uint32)
         even, odd = u[:, :, :, 0::2], u[:, :, :, 1::2]
         v = jax.lax.bitcast_convert_type(
             (odd << 16) | even, jnp.int32)       # (N, M, NT, D/2, 128)
     else:
-        v = _tile_tokens(value.astype(jnp.float32), spatial_shapes)
-        v = v.reshape(N, NT, _BQ, M, D).transpose(0, 3, 1, 4, 2)
+        vf = value.astype(jnp.float32)
+        if not value_tiled:
+            vf = _tile_tokens(vf, spatial_shapes)
+        v = vf.reshape(N, NT, _BQ, M, D).transpose(0, 3, 1, 4, 2)
 
     locx = loc[..., 0].transpose(0, 2, 3, 4, 1).reshape(N, M, L * P, lq_t)
     locy = loc[..., 1].transpose(0, 2, 3, 4, 1).reshape(N, M, L * P, lq_t)
@@ -342,13 +376,16 @@ def _prep_inputs(value, spatial_shapes, sampling_locations,
 
 @functools.partial(jax.jit,
                    static_argnames=("spatial_shapes", "interpret",
-                                    "packed"))
+                                    "packed", "value_tiled",
+                                    "queries_tiled"))
 def ms_deform_attn_pallas(value: jax.Array,
                           spatial_shapes: Tuple[Tuple[int, int], ...],
                           sampling_locations: jax.Array,
                           attention_weights: jax.Array,
                           interpret: bool = False,
-                          packed: bool = None) -> jax.Array:
+                          packed: bool = None,
+                          value_tiled: bool = False,
+                          queries_tiled: bool = False) -> jax.Array:
     """Same signature/semantics as ops.ms_deform_attn.ms_deform_attn.
 
     value (N, S, M, D); sampling_locations (N, Lq, M, L, P, 2) in [0,1];
@@ -357,6 +394,10 @@ def ms_deform_attn_pallas(value: jax.Array,
     packed: pair-pack bf16 value channels into i32 gather lanes
     (numerics = bf16 value sampling, exact for bf16 inputs); None reads
     SDT_PACKED_GATHER and requires a bf16 value tensor.
+    value_tiled / queries_tiled: the token axes are pre-permuted into
+    tile order by the caller (see _prep_inputs) — the per-call layout
+    permutes (the measured 40% of the SSOD step, r4 profile) collapse to
+    one cheap slab transpose, and the output stays in tile order.
     """
     N, S, M, D = value.shape
     _, Lq, _, L, P, _ = sampling_locations.shape
@@ -366,7 +407,8 @@ def ms_deform_attn_pallas(value: jax.Array,
     geom, NT = _tile_geom(spatial_shapes)
     v, locx, locy, attn, tiled_q, lq_t = _prep_inputs(
         value, spatial_shapes, sampling_locations, attention_weights,
-        packed=packed)
+        packed=packed, value_tiled=value_tiled,
+        queries_tiled=queries_tiled)
 
     grid = (N, M, lq_t // _BQ)
     kernel = functools.partial(_fwd_kernel, spatial_shapes=spatial_shapes,
@@ -410,6 +452,8 @@ def ms_deform_attn_pallas(value: jax.Array,
         perm = np.argsort(np.r_[np.arange(0, D, 2), np.arange(1, D, 2)])
         out = out[:, :, perm, :]
     out = out.transpose(0, 3, 1, 2).reshape(N, lq_t, M * D)
+    if queries_tiled:
+        return out                     # caller keeps the tiled order
     if tiled_q:
         out = _untile_tokens(out, spatial_shapes)
     else:
@@ -529,12 +573,15 @@ def _bwd_kernel(locx_ref, locy_ref, attn_ref, g_ref, gT_ref, value_ref,
 
 @functools.partial(jax.jit,
                    static_argnames=("spatial_shapes", "interpret",
-                                    "c_bf16", "packed"))
+                                    "c_bf16", "packed", "value_tiled",
+                                    "queries_tiled"))
 def ms_deform_attn_bwd_pallas(value, spatial_shapes, sampling_locations,
                               attention_weights, cotangent,
                               interpret: bool = False,
                               c_bf16: bool = None,
-                              packed: bool = None):
+                              packed: bool = None,
+                              value_tiled: bool = False,
+                              queries_tiled: bool = False):
     """Backward of ms_deform_attn: returns (d_value, d_locations,
     d_attention_weights) given the output cotangent (N, Lq, M*D).
 
@@ -542,7 +589,9 @@ def ms_deform_attn_bwd_pallas(value, spatial_shapes, sampling_locations,
     None reads SDT_BWD_C_BF16.
     packed: pair-packed bf16 value gathers (see _PACKED_GATHER); None =
     on for bf16 value tensors (exact there — the gathers only feed the
-    d_loc/d_attn dots; dv's scatter matmul bypasses the packed lanes)."""
+    d_loc/d_attn dots; dv's scatter matmul bypasses the packed lanes).
+    value_tiled / queries_tiled: mirror the forward — inputs arrive and
+    gradients leave in tile order, skipping all per-call permutes."""
     if c_bf16 is None:
         c_bf16 = _BWD_C_BF16
     N, S, M, D = value.shape
@@ -554,7 +603,8 @@ def ms_deform_attn_bwd_pallas(value, spatial_shapes, sampling_locations,
     geom, NT = _tile_geom(spatial_shapes)
     v, locx, locy, attn, tiled_q, lq_t = _prep_inputs(
         value, spatial_shapes, sampling_locations, attention_weights,
-        packed=packed)
+        packed=packed, value_tiled=value_tiled,
+        queries_tiled=queries_tiled)
 
     gq = cotangent.astype(jnp.float32).reshape(N, Lq, M, D)
     if tiled_q:
@@ -605,15 +655,19 @@ def ms_deform_attn_bwd_pallas(value, spatial_shapes, sampling_locations,
     )(locx, locy, attn, g, gT, v)
 
     # untile d_value back to row-major tokens (padding slots never
-    # receive gradient: clamped coords always land on real tokens)
+    # receive gradient: clamped coords always land on real tokens) —
+    # unless the caller keeps everything in tile order
     dvq = dv.transpose(0, 2, 3, 1, 4).reshape(N, NT * _BQ, M, D)
-    d_value = _untile_tokens(dvq, spatial_shapes).astype(value.dtype)
+    if value_tiled:
+        d_value = dvq.astype(value.dtype)
+    else:
+        d_value = _untile_tokens(dvq, spatial_shapes).astype(value.dtype)
 
     def unq(x):                                          # (N,M,taps,lq)
         x = x.transpose(0, 3, 1, 2)                      # (N, lq, M, taps)
         if tiled_q:
             x = _untile_tokens(x, spatial_shapes)
-        else:
+        elif not queries_tiled:
             x = x[:, :Lq]
         return x.reshape(N, Lq, M, L, P)
 
@@ -624,7 +678,8 @@ def ms_deform_attn_bwd_pallas(value, spatial_shapes, sampling_locations,
 
 
 def ms_deform_attn_sorted(value, spatial_shapes, sampling_locations,
-                          attention_weights, _op=None):
+                          attention_weights, _op=None,
+                          value_tiled: bool = False):
     """Decoder cross-attention through the Pallas kernel: queries are
     box-conditioned (arbitrary positions), so first cluster them
     spatially — sort by the tile-grid cell of their mean sampling
@@ -643,29 +698,54 @@ def ms_deform_attn_sorted(value, spatial_shapes, sampling_locations,
         sampling_locations, perm[:, :, None, None, None, None], axis=1)
     attn_s = jnp.take_along_axis(
         attention_weights, perm[:, :, None, None, None], axis=1)
-    op = _op if _op is not None else ms_deform_attn_fused
-    out = op(value, spatial_shapes, loc_s, attn_s)
+    if _op is not None:
+        out = _op(value, spatial_shapes, loc_s, attn_s)
+    else:
+        out = ms_deform_attn_fused_tiled(value, spatial_shapes, loc_s,
+                                         attn_s, value_tiled, False)
     return jnp.take_along_axis(out, inv[:, :, None], axis=1)
 
 
 def ms_deform_attn_auto(value, spatial_shapes, sampling_locations,
-                        attention_weights, prefer_pallas: bool = True):
+                        attention_weights, prefer_pallas: bool = True,
+                        value_tiled: bool = False,
+                        queries_tiled: bool = False):
     """Backend dispatch on TPU: the Pallas kernel directly for local
     sampling (encoder self-attention: one query per token), the
     sorted-query Pallas path for decoder cross-attention (few query
     blocks, so even wide rectangles beat XLA's gather/scatter); the XLA
-    oracle elsewhere (CPU, interpret-free tests)."""
+    oracle elsewhere (CPU, interpret-free tests).
+
+    value_tiled / queries_tiled: the caller keeps the token axes in tile
+    order (see ms_deform_attn_pallas). On the oracle path the tensors
+    are untiled around the call so numerics stay bit-identical to the
+    row-major layout."""
     on_tpu = jax.default_backend() == "tpu"
-    local = sampling_locations.shape[1] == value.shape[1]  # Lq == S
     if prefer_pallas and on_tpu:
-        if local:
+        if queries_tiled:
+            return ms_deform_attn_fused_tiled(
+                value, spatial_shapes, sampling_locations,
+                attention_weights, value_tiled, True)
+        local = sampling_locations.shape[1] == value.shape[1]
+        if local and not value_tiled:
             return ms_deform_attn_fused(value, spatial_shapes,
                                         sampling_locations,
                                         attention_weights)
         return ms_deform_attn_sorted(value, spatial_shapes,
-                                     sampling_locations, attention_weights)
-    return ms_deform_attn_xla(value, spatial_shapes, sampling_locations,
-                              attention_weights)
+                                     sampling_locations, attention_weights,
+                                     value_tiled=value_tiled)
+    if value_tiled:
+        value = _untile_tokens(value, spatial_shapes)
+    if queries_tiled:
+        sampling_locations = _untile_tokens(sampling_locations,
+                                            spatial_shapes)
+        attention_weights = _untile_tokens(attention_weights,
+                                           spatial_shapes)
+    out = ms_deform_attn_xla(value, spatial_shapes, sampling_locations,
+                             attention_weights)
+    if queries_tiled:
+        out = _tile_tokens(out, spatial_shapes)
+    return out
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
@@ -694,3 +774,49 @@ def _bwd(spatial_shapes, res, g):
 
 
 ms_deform_attn_fused.defvjp(_fwd, _bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 4, 5))
+def ms_deform_attn_fused_tiled(value, spatial_shapes, sampling_locations,
+                               attention_weights, value_tiled,
+                               queries_tiled):
+    """Pallas fwd+bwd with pre-tiled token layouts (custom_vjp)."""
+    return ms_deform_attn_pallas(value, spatial_shapes,
+                                 sampling_locations, attention_weights,
+                                 value_tiled=value_tiled,
+                                 queries_tiled=queries_tiled)
+
+
+def _fwd_tiled(value, spatial_shapes, sampling_locations,
+               attention_weights, value_tiled, queries_tiled):
+    out = ms_deform_attn_pallas(value, spatial_shapes, sampling_locations,
+                                attention_weights,
+                                value_tiled=value_tiled,
+                                queries_tiled=queries_tiled)
+    return out, (value, sampling_locations, attention_weights)
+
+
+def _bwd_tiled(spatial_shapes, value_tiled, queries_tiled, res, g):
+    value, loc, attn = res
+    if jax.default_backend() == "tpu":
+        return ms_deform_attn_bwd_pallas(value, spatial_shapes, loc, attn,
+                                         g, value_tiled=value_tiled,
+                                         queries_tiled=queries_tiled)
+    # oracle fallback: untile around the row-major vjp, re-tile grads
+    vr = _untile_tokens(value, spatial_shapes) if value_tiled else value
+    lr = _untile_tokens(loc, spatial_shapes) if queries_tiled else loc
+    ar = _untile_tokens(attn, spatial_shapes) if queries_tiled else attn
+    gr = _untile_tokens(g, spatial_shapes) if queries_tiled else g
+    _, vjp = jax.vjp(
+        lambda v, l, a: ms_deform_attn_xla(v, spatial_shapes, l, a),
+        vr, lr, ar)
+    dv, dl, da = vjp(gr)
+    if value_tiled:
+        dv = _tile_tokens(dv, spatial_shapes)
+    if queries_tiled:
+        dl = _tile_tokens(dl, spatial_shapes)
+        da = _tile_tokens(da, spatial_shapes)
+    return dv, dl, da
+
+
+ms_deform_attn_fused_tiled.defvjp(_fwd_tiled, _bwd_tiled)

@@ -248,3 +248,57 @@ def test_packed_bwd_matches_bf16_oracle_vjp():
                                rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(np.asarray(da), np.asarray(da2),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_tiled_layout_kernel_matches_oracle():
+    """value_tiled/queries_tiled: the kernel on pre-tiled tensors must
+    equal tile(oracle(row-major)) — fwd and bwd (interpret mode)."""
+    from semi_detr_tpu.ops.ms_deform_attn_pallas import (
+        _tile_tokens, _untile_tokens, ms_deform_attn_bwd_pallas)
+    rs = np.random.RandomState(31)
+    m, d, l, p = 2, 8, 2, 3
+    v, loc, aw = _inputs(rs, m=m, d=d, lq=S, l=l, p=p)   # queries = tokens
+    ref = ms_deform_attn(v, SHAPES, loc, aw)
+
+    v_t = _tile_tokens(v, SHAPES)
+    loc_t = _tile_tokens(loc, SHAPES)
+    aw_t = _tile_tokens(aw, SHAPES)
+    got_t = ms_deform_attn_pallas(v_t, SHAPES, loc_t, aw_t,
+                                  interpret=True, value_tiled=True,
+                                  queries_tiled=True)
+    got = _untile_tokens(got_t, SHAPES)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+    # tile-pad slots return exactly zero (sentinel-masked)
+    real = np.zeros(got_t.shape[1], bool)
+    from semi_detr_tpu.ops.ms_deform_attn_pallas import _real_token_mask
+    real = np.asarray(_real_token_mask(SHAPES))
+    np.testing.assert_array_equal(np.asarray(got_t)[:, ~real], 0.0)
+
+    # backward: tiled grads == tile(row-major grads)
+    g = jnp.asarray(rs.randn(1, S, m * d).astype(np.float32))
+    _, vjp = jax.vjp(lambda v_, l_, a_: ms_deform_attn(v_, SHAPES, l_, a_),
+                     v, loc, aw)
+    dv_r, dl_r, da_r = vjp(g)
+    dv, dl, da = ms_deform_attn_bwd_pallas(
+        v_t, SHAPES, loc_t, aw_t, _tile_tokens(g, SHAPES),
+        interpret=True, value_tiled=True, queries_tiled=True)
+    np.testing.assert_allclose(np.asarray(_untile_tokens(dv, SHAPES)),
+                               np.asarray(dv_r), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(_untile_tokens(dl, SHAPES)),
+                               np.asarray(dl_r), rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(_untile_tokens(da, SHAPES)),
+                               np.asarray(da_r), rtol=1e-4, atol=1e-5)
+
+
+def test_tiled_value_only_decoder_matches_oracle():
+    """Decoder shape: pre-tiled VALUE, row-major queries (sorted path's
+    inner op) — fwd parity vs the oracle (interpret mode)."""
+    from semi_detr_tpu.ops.ms_deform_attn_pallas import _tile_tokens
+    rs = np.random.RandomState(33)
+    v, loc, aw = _inputs(rs, d=8, lq=40)
+    ref = ms_deform_attn(v, SHAPES, loc, aw)
+    got = ms_deform_attn_pallas(_tile_tokens(v, SHAPES), SHAPES, loc, aw,
+                                interpret=True, value_tiled=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
