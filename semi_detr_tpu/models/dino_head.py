@@ -68,6 +68,9 @@ class DinoConfig:
     # encoder/decoder token streams in kernel tile order (see
     # DINOTransformer.tiled_tokens); numerics-preserving perf default
     tiled_tokens: bool = True
+    # layer-scan unroll factor (see DINOTransformer.scan_unroll):
+    # 1 = true scan, num_layers = fully unrolled runtime
+    scan_unroll: int = 1
 
     @property
     def dn_pad_size(self) -> int:
@@ -152,7 +155,8 @@ class DINODetector(nn.Module):
             num_decoder_layers=c.num_decoder_layers, d_ffn=c.d_ffn,
             n_levels=c.n_levels, enc_n_points=c.enc_n_points,
             dec_n_points=c.dec_n_points, remat=c.remat,
-            tiled_tokens=c.tiled_tokens, dtype=c.dtype)
+            tiled_tokens=c.tiled_tokens, scan_unroll=c.scan_unroll,
+            dtype=c.dtype)
 
         self.fc_cls = ClsHead(c.num_classes, dtype=c.dtype)  # shared
         self.fc_reg = Mlp(c.d_model, 4, 3, last_zero_init=True,

@@ -126,3 +126,23 @@ def test_bf16_dtype_propagates_through_transformer():
     assert out["cls"].dtype == jnp.float32
     assert out["coord"].dtype == jnp.float32
     assert jnp.isfinite(out["cls"].astype(jnp.float32)).all()
+
+
+def test_scan_unroll_is_numerically_identical():
+    """scan_unroll is a pure perf knob: lax.scan unroll must not change
+    any output bit (same params via identical init seed, same math)."""
+    outs = {}
+    for unroll in (1, 2):
+        cfg = DinoConfig(num_classes=3, num_queries=12, d_model=64,
+                         n_heads=2, num_encoder_layers=2,
+                         num_decoder_layers=2, d_ffn=64,
+                         dn_single_pad=2, dn_groups=1, max_gt=4,
+                         scan_unroll=unroll)
+        m = DINODetector(cfg)
+        imgs = jnp.asarray(np.random.RandomState(0).rand(1, 64, 64, 3),
+                           jnp.float32)
+        hw = jnp.asarray([[64, 64]], jnp.int32)
+        variables = m.init({"params": jax.random.PRNGKey(0)}, imgs, hw)
+        outs[unroll] = m.apply(variables, imgs, hw)
+    for k in ("cls", "coord"):
+        assert jnp.abs(outs[1][k] - outs[2][k]).max() == 0.0, k

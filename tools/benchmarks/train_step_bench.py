@@ -23,6 +23,8 @@ def main():
     p.add_argument("--height", type=int, default=800)
     p.add_argument("--width", type=int, default=1344)
     p.add_argument("--no-remat", action="store_true")
+    p.add_argument("--unroll", type=int, default=1,
+                   help="layer-scan unroll factor (6 = fully unrolled)")
     p.add_argument("--profile", metavar="DIR", default=None,
                    help="capture a jax.profiler trace of the timed steps")
     p.add_argument("--donate", action="store_true",
@@ -52,7 +54,8 @@ def main():
     if args.infer:
         return infer_bench(args)
 
-    cfg = DinoConfig(dtype=jnp.bfloat16, remat=not args.no_remat)
+    cfg = DinoConfig(dtype=jnp.bfloat16, remat=not args.no_remat,
+                     scan_unroll=args.unroll)
     model = DINODetector(cfg)
     b, h, w = args.batch, args.height, args.width
     rng = jax.random.PRNGKey(0)
@@ -106,7 +109,8 @@ def infer_bench(args):
     from semi_detr_tpu.models.dino_head import DinoConfig, DINODetector
     from semi_detr_tpu.models.inference import make_predict_fn
 
-    cfg = DinoConfig(dtype=jnp.bfloat16, remat=not args.no_remat)
+    cfg = DinoConfig(dtype=jnp.bfloat16, remat=not args.no_remat,
+                     scan_unroll=args.unroll)
     model = DINODetector(cfg)
     b, h, w = args.batch, args.height, args.width
     rs = np.random.RandomState(0)
@@ -152,7 +156,8 @@ def ssod_bench(args):
     t0 = time.time()
     step, state, batch, rng = build_ssod_step(
         n_sup, n_unsup, h, w, warm_up=warm_up,
-        remat=not args.no_remat, donate=args.donate)
+        remat=not args.no_remat, donate=args.donate,
+        scan_unroll=args.unroll)
     print(f"init: {time.time() - t0:.1f}s")
 
     med, _, _, compile_s = timed_steps(step, state, batch, rng,
