@@ -17,10 +17,20 @@ a new shape every step -> would recompile XLA every iteration). Here:
 """
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from typing import Dict, List, Sequence, Tuple
 
 import numpy as np
+
+# Ship raw uint8 pixels to the device and normalize there
+# (models/dino_head.py:prepare_images) — 4x less host->device traffic
+# than normalized f32 (the SSOD recipe step moves 9 bucket images), and
+# the host skips a 13 MB/image f32 write. Numerics match the host path
+# to 1 ulp (f32 (x - mean)/std on device; the C++ path multiplies by
+# 1/std) and pad rows/cols re-zero via the img_hw mask exactly as the
+# host pads after normalizing. SDT_HOST_NORMALIZE=1 restores host f32.
+_DEVICE_NORMALIZE = os.environ.get("SDT_HOST_NORMALIZE", "0") != "1"
 
 from .augment import (Sample, make_sample, normalize_image, strong_augment,
                       sup_augment, test_resize, weak_augment)
@@ -98,7 +108,8 @@ def pick_bucket(h: int, w: int,
 
 @dataclass
 class PackedImage:
-    image: np.ndarray       # (BH, BW, 3) float32 normalized, padded
+    image: np.ndarray       # (BH, BW, 3) padded: raw uint8 (device-side
+                            # normalize, the default) or normalized float32
     hw: np.ndarray          # (2,) int32 valid extent
     boxes: np.ndarray       # (G, 4) float32 normalized cxcywh
     labels: np.ndarray      # (G,) int32
@@ -115,7 +126,10 @@ def pack(sample: Sample, bucket: Tuple[int, int], max_gt: int,
     assert h <= bh and w <= bw, ((h, w), bucket)
     from .. import native
     from .augment import IMG_MEAN, IMG_STD
-    if native.available() and sample.img.dtype == np.uint8:
+    if _DEVICE_NORMALIZE and sample.img.dtype == np.uint8:
+        img = np.zeros((bh, bw, 3), np.uint8)
+        img[:h, :w] = sample.img
+    elif native.available() and sample.img.dtype == np.uint8:
         img = native.normalize_pad(sample.img, (bh, bw), IMG_MEAN, IMG_STD)
     else:
         img = np.zeros((bh, bw, 3), np.float32)

@@ -69,12 +69,38 @@ class DinoConfig:
     # DINOTransformer.tiled_tokens); numerics-preserving perf default
     tiled_tokens: bool = True
     # layer-scan unroll factor (see DINOTransformer.scan_unroll):
-    # 1 = true scan, num_layers = fully unrolled runtime
-    scan_unroll: int = 1
+    # 1 = true scan, num_layers = fully unrolled runtime. Default 6
+    # (= the flagship depth): the on-chip A/B measured the rolled scan's
+    # stacked-param dynamic slices + grad dynamic-update-slices at
+    # ~0.2 s/step of the SSOD recipe step (trace_summary of
+    # /tmp/ssod_trace_tiled); unrolling emits static slices XLA folds
+    # away (SSOD 1574 -> 1454 ms/step, supervised bs2 413 -> 364 ms)
+    # while nn.scan still traces/compiles the body once per unroll group.
+    scan_unroll: int = 6
 
     @property
     def dn_pad_size(self) -> int:
         return 2 * self.dn_single_pad * self.dn_groups
+
+
+def prepare_images(images, img_hw):
+    """Device-side normalization for raw-uint8 batches.
+
+    The host pipeline ships uint8 pixels (data/pipeline.py:pack) — 4x
+    less host->device traffic than normalized f32. Matches the host path
+    (the reference's mmdet Normalize+Pad) to 1 ulp: f32 (x - mean)/std,
+    with rows/cols beyond the per-image valid extent re-zeroed (host
+    pads AFTER normalizing, so pad pixels are exactly 0). No-op for
+    float inputs, so pre-normalized batches keep working.
+    """
+    if images.dtype != jnp.uint8:
+        return images
+    from ..data.augment import IMG_MEAN, IMG_STD
+    x = (images.astype(jnp.float32) - IMG_MEAN) / IMG_STD
+    _, H, W, _ = images.shape
+    vi = jnp.arange(H)[None, :] < img_hw[:, :1]      # (B, H)
+    vj = jnp.arange(W)[None, :] < img_hw[:, 1:2]     # (B, W)
+    return x * (vi[:, :, None] & vj[:, None, :])[..., None]
 
 
 def level_valid_masks(spatial_shapes, input_hw, img_hw):
@@ -170,7 +196,9 @@ class DINODetector(nn.Module):
             (c.dn_labelbook_size + 1, c.d_model))
 
     def features(self, images):
-        """images: (B, H, W, 3) normalized. Returns (srcs, spatial_shapes)."""
+        """images: (B, H, W, 3) normalized float. Returns (srcs,
+        spatial_shapes). uint8 batches must go through `prepare_images`
+        first (encode_images does)."""
         c = self.cfg
         feats = self.backbone(images.astype(c.dtype))
         srcs = []
@@ -192,9 +220,10 @@ class DINODetector(nn.Module):
         matching tgt/refpoints, encoder interim outputs) plus
         'spatial_shapes' (static) and 'srcs' (projected feature maps, for
         RoIAlign consumers). `features` lets callers reuse precomputed
-        backbone outputs.
+        backbone outputs. uint8 batches are normalized on device here.
         """
         c = self.cfg
+        images = prepare_images(images, img_hw)
         if features is None:
             srcs, shapes = self.features(images)
         else:

@@ -12,6 +12,7 @@ IterBasedRunner + hooks). Hook behavior is inlined into a plain loop:
 """
 from __future__ import annotations
 
+import os
 import queue
 import threading
 from typing import Optional
@@ -80,10 +81,16 @@ def _bucket_for_flag(bucket, flag):
     return land if flag == 1 else (land[1], land[0])
 
 
-def prefetch(iterator, depth: int = 2):
+def prefetch(iterator, depth: int = 2, transform=None):
     """Background-thread batch prefetch: overlaps host-side decoding/
     augmentation/packing with device steps (the torch-DataLoader-worker
     role; image decode itself is the native C++ loader).
+
+    transform: optional callable applied to each item IN THE WORKER —
+    the trainers pass their device_put/shard_batch here so the
+    host->device transfer of step N+1 overlaps step N's device compute
+    (torch's pin_memory+non_blocking role). JAX transfers are
+    thread-safe; a transform exception re-raises in the consumer.
 
     Worker exceptions re-raise in the consumer (a swallowed loader error
     would silently truncate training as a clean end-of-stream), and
@@ -96,6 +103,8 @@ def prefetch(iterator, depth: int = 2):
     def worker():
         try:
             for item in iterator:
+                if transform is not None:
+                    item = transform(item)
                 while not stop.is_set():
                     try:
                         q.put(item, timeout=0.5)
@@ -120,6 +129,34 @@ def prefetch(iterator, depth: int = 2):
             yield item
     finally:
         stop.set()
+
+
+# Overlap host->device batch transfer with device compute by doing the
+# device_put inside the prefetch worker thread (the uint8 batches from
+# data/pipeline.py keep the shipped bytes 4x down). SDT_PREFETCH_PUT=0
+# restores the synchronous put-at-dispatch behavior.
+_PREFETCH_PUT = os.environ.get("SDT_PREFETCH_PUT", "1") != "0"
+
+
+def _batch_put(mesh, vis: bool = False):
+    """Worker-thread transfer for prefetch(): ship each batch to device
+    (sharded over the mesh when given). vis=True stashes a host copy of
+    the first unlabeled student image under '_vis_img' (the pseudo-label
+    render source) before the tree leaves the host. Returns None when
+    prefetch-put is disabled."""
+    if not _PREFETCH_PUT:
+        return None
+
+    def put(batch):
+        vis_img = (np.asarray(batch["unsup"]["student_images"][0])
+                   if vis else None)
+        batch = (shard_batch(batch, mesh) if mesh is not None
+                 else jax.device_put(batch))
+        if vis_img is not None:
+            batch["_vis_img"] = vis_img
+        return batch
+
+    return put
 
 
 class SsodTrainer:
@@ -281,14 +318,19 @@ class SsodTrainer:
             weight_summary(self.state.params).split("TOTAL")[-1])
         rng = jax.random.PRNGKey(self.seed + 13)
         total = min(self.total_steps, max_steps or self.total_steps)
-        for batch in prefetch(self.batches(start_step=int(self.state.step))):
+        put = _batch_put(self.mesh, vis=True)
+        for batch in prefetch(self.batches(start_step=int(self.state.step)),
+                              transform=put):
             step = int(self.state.step)
             if step >= total:
                 break
             warm_up = step < self.cfg.warm_up_step
-            vis_img = np.asarray(batch["unsup"]["student_images"][0])
-            if self.mesh is not None:
-                batch = shard_batch(batch, self.mesh)
+            if put is not None:
+                vis_img = batch.pop("_vis_img")
+            else:
+                vis_img = np.asarray(batch["unsup"]["student_images"][0])
+                if self.mesh is not None:
+                    batch = shard_batch(batch, self.mesh)
             step_fn = self._get_step(warm_up)
             self.state, metrics = step_fn(self.state, batch, rng)
             vis = metrics.pop("pseudo_vis", None)
@@ -458,11 +500,13 @@ class SupervisedTrainer:
     def train(self, max_steps: Optional[int] = None):
         rng = jax.random.PRNGKey(self.seed + 13)
         total = min(self.total_steps, max_steps or self.total_steps)
-        gen = prefetch(self.batches(start_step=int(self.state.step)))
+        put = _batch_put(self.mesh)
+        gen = prefetch(self.batches(start_step=int(self.state.step)),
+                       transform=put)
         while int(self.state.step) < total:
             step = int(self.state.step)
             batch = next(gen)
-            if self.mesh is not None:
+            if put is None and self.mesh is not None:
                 batch = shard_batch(batch, self.mesh)
             warm_up = step < self.warm_up_step
             self.state, metrics = self._get_step(warm_up)(

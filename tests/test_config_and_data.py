@@ -145,6 +145,39 @@ def test_pack_static_shapes():
     assert (p.hw == [60, 80]).all()
 
 
+def test_uint8_device_normalize_bitexact(monkeypatch):
+    """pack() ships raw uint8 by default; the model's device-side
+    prepare_images must reproduce the host normalize-then-pad path to
+    1 ulp (the native C++ path multiplies by 1/std where the device
+    divides) with the pad region exactly 0."""
+    import jax.numpy as jnp
+    from semi_detr_tpu.data import pipeline
+    from semi_detr_tpu.models.dino_head import prepare_images
+
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 256, (60, 80, 3), np.uint8)
+    s = make_sample(img, [[10, 10, 30, 40]], [2])
+
+    monkeypatch.setattr(pipeline, "_DEVICE_NORMALIZE", True)
+    raw = pack(s, (64, 96), max_gt=8)
+    assert raw.image.dtype == np.uint8
+    monkeypatch.setattr(pipeline, "_DEVICE_NORMALIZE", False)
+    host = pack(s, (64, 96), max_gt=8)
+    assert host.image.dtype == np.float32
+
+    dev = prepare_images(jnp.asarray(raw.image[None]),
+                         jnp.asarray(raw.hw[None]))
+    assert dev.dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(dev[0]), host.image, atol=5e-7)
+    # pad region exactly zero in both
+    assert not np.asarray(dev[0])[60:].any() and not host.image[60:].any()
+    assert not np.asarray(dev[0])[:, 80:].any()
+    # float input passes through untouched
+    passthru = prepare_images(jnp.asarray(host.image[None]),
+                              jnp.asarray(host.hw[None]))
+    np.testing.assert_array_equal(np.asarray(passthru[0]), host.image)
+
+
 def test_pick_bucket():
     assert pick_bucket(500, 600) == (512, 672)
     assert pick_bucket(800, 1333) == (800, 1344)

@@ -23,8 +23,9 @@ def main():
     p.add_argument("--height", type=int, default=800)
     p.add_argument("--width", type=int, default=1344)
     p.add_argument("--no-remat", action="store_true")
-    p.add_argument("--unroll", type=int, default=1,
-                   help="layer-scan unroll factor (6 = fully unrolled)")
+    p.add_argument("--unroll", type=int, default=6,
+                   help="layer-scan unroll factor (6 = fully unrolled, "
+                        "the measured default; 1 = true rolled scan)")
     p.add_argument("--profile", metavar="DIR", default=None,
                    help="capture a jax.profiler trace of the timed steps")
     p.add_argument("--donate", action="store_true",
