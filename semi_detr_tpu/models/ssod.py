@@ -232,6 +232,33 @@ def dual_filter(costs, scores, valid, gmm_thr, score_thr: float):
 # consistency query construction (reference prepare_unsup_cdn, :484-760)
 # --------------------------------------------------------------------------
 
+def inject_fake_consistency_roi(keep_cons, boxes_t, boxes_s,
+                                teacher_hw, student_hw):
+    """Reference dino_detr_ssod.py:516-521, :575-581: an unlabeled image
+    whose dual filter kept ZERO pseudo boxes still contributes one fake
+    center RoI [w/4, h/4, 3w/4, 3h/4] — its projector features enter
+    the BatchNorm batch statistics and it occupies a known slot in
+    every consistency group with loss weight 0. Its normalized cxcywh
+    is exactly (.5,.5,.5,.5) = sigmoid(0), the padding box, so query
+    positions are unchanged by construction.
+
+    Returns (keep_known (B,P) = keep_cons | fake-slot, boxes_t', boxes_s'
+    with slot 0 of empty images replaced by the per-frame fake box)."""
+    b, p = keep_cons.shape
+    empty = ~keep_cons.any(-1)                              # (B,)
+    fake = empty[:, None] & (jnp.arange(p)[None, :] == 0)
+
+    def fake_box(hw):
+        h, w = hw[:, 0].astype(jnp.float32), hw[:, 1].astype(jnp.float32)
+        return jnp.stack([w / 4, h / 4, 3 * w / 4, 3 * h / 4], -1)
+
+    boxes_t = jnp.where(fake[..., None], fake_box(teacher_hw)[:, None],
+                        boxes_t)
+    boxes_s = jnp.where(fake[..., None], fake_box(student_hw)[:, None],
+                        boxes_s)
+    return keep_cons | fake, boxes_t, boxes_s
+
+
 def consistency_partition(packed_valid, cons_groups: int, capacity: int):
     """Adaptive consistency-group size inside the static slot budget,
     mirroring the reference's `single_pad_1 = int(max(known_num))`

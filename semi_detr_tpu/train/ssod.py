@@ -30,6 +30,7 @@ from ..models.ssod import (Projector, SsodConfig, combined_attn_mask,
                            consistency_loss, consistency_partition,
                            consistency_positions,
                            decode_pseudo_labels, dual_filter,
+                           inject_fake_consistency_roi,
                            normalize_boxes, pseudo_matching_costs,
                            scatter_to_slots,
                            transform_pseudo_to_student)
@@ -95,34 +96,43 @@ def _unsup_forward_and_loss(detector: DINODetector, projector: Projector,
 
     out_losses: Dict[str, Any] = {}
     if warm_up:
+        # empty-image fake center RoI (see inject_fake_consistency_roi)
+        b, p = pl.valid.shape
+        keep_known, boxes_t, boxes_s = inject_fake_consistency_roi(
+            keep_cons, pl.boxes_t, pl.boxes_s,
+            un["teacher_hw"], un["student_hw"])
+
         # consistency content: RoIAlign teacher srcs at TEACHER-frame boxes
         # -> Projector (trainable); reference :563-607
-        b, p = pl.valid.shape
         roi = jax.vmap(
             lambda feats, rois: multi_level_roi_align(feats, rois)
         )(tuple(jax.lax.stop_gradient(s) for s in t_enc["srcs"]),
-          pl.boxes_t)                                     # (B, P, 7, 7, C)
+          boxes_t)                                        # (B, P, 7, 7, C)
         content = projector.apply(
             {"params": params["projector"]},
-            roi.reshape(b * p, *roi.shape[2:]), keep_cons.reshape(-1))
+            roi.reshape(b * p, *roi.shape[2:]), keep_known.reshape(-1))
         content = content.reshape(b, p, -1)
-        content = jnp.where(keep_cons[..., None], content, 0.0)
+        content = jnp.where(keep_known[..., None], content, 0.0)
 
         # pack the kept slots to the front (the same stable order
         # compact_gt gives the teacher-view CDN) and size the consistency
         # groups to the batch max kept count — the reference's
         # single_pad_1 = max(known_num) (dino_detr_ssod.py:537), realized
         # as traced content in the static cons_pad budget
-        order = pack_order(keep_cons)
-        packed_keep = jnp.take_along_axis(keep_cons, order, axis=1)
+        order = pack_order(keep_known)
+        packed_keep = jnp.take_along_axis(keep_known, order, axis=1)
         packed_content = jnp.take_along_axis(content, order[..., None],
                                              axis=1)
-        packed_boxes_s = jnp.take_along_axis(pl.boxes_s, order[..., None],
+        packed_boxes_s = jnp.take_along_axis(boxes_s, order[..., None],
                                              axis=1)
-        packed_boxes_t = jnp.take_along_axis(pl.boxes_t, order[..., None],
+        packed_boxes_t = jnp.take_along_axis(boxes_t, order[..., None],
                                              axis=1)
         cons_sp, slot_idx, slot_w = consistency_partition(
             packed_keep, cfg.cons_groups, cfg.cons_pad)
+        # loss weights exclude the fake slots (reference loss_weights=0
+        # for the injected fallback box, :577-581)
+        packed_loss = jnp.take_along_axis(keep_cons, order, axis=1)
+        loss_w = jnp.take(packed_loss, slot_idx, axis=1) & slot_w
         content_slots = scatter_to_slots(packed_content, slot_idx, slot_w)
 
         pos_s = consistency_positions(packed_boxes_s, un["student_hw"],
@@ -186,7 +196,7 @@ def _unsup_forward_and_loss(detector: DINODetector, projector: Projector,
         cons_counts = jnp.maximum(keep_cons.sum(-1), 1)
         out_losses.update(consistency_loss(
             s_out["hs"][:, :, :n_cons], t_out["hs"][:, :, :n_cons],
-            slot_w, cons_counts, cfg, cfg.consistency_weight))
+            loss_w, cons_counts, cfg, cfg.consistency_weight))
 
     metrics = {
         "pseudo_per_img": pl.valid.sum() / pl.valid.shape[0],

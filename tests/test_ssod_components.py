@@ -141,3 +141,34 @@ def test_consistency_loss_detach_and_weighting():
     gt = jax.grad(lambda h: consistency_loss(
         hs_s, h, w, counts, CFG, 10.0)["consis_loss.d0"])(hs_t)
     assert float(jnp.abs(gt).max()) == 0.0
+
+
+def test_inject_fake_consistency_roi():
+    """Empty images get the reference's fake center RoI
+    (dino_detr_ssod.py:516-521, :575-581): slot 0 becomes
+    [w/4, h/4, 3w/4, 3h/4] in each frame and joins the known set;
+    non-empty images are untouched."""
+    from semi_detr_tpu.models.ssod import inject_fake_consistency_roi
+    keep = jnp.asarray([[True, False, False],
+                        [False, False, False]])
+    bt = jnp.ones((2, 3, 4)) * 7.0
+    bs = jnp.ones((2, 3, 4)) * 9.0
+    t_hw = jnp.asarray([[100, 200], [80, 160]])
+    s_hw = jnp.asarray([[120, 240], [60, 120]])
+    known, bt2, bs2 = inject_fake_consistency_roi(keep, bt, bs, t_hw, s_hw)
+    np.testing.assert_array_equal(np.asarray(known),
+                                  [[True, False, False],
+                                   [True, False, False]])
+    # image 0 (non-empty): boxes untouched
+    np.testing.assert_array_equal(np.asarray(bt2[0]), np.asarray(bt[0]))
+    np.testing.assert_array_equal(np.asarray(bs2[0]), np.asarray(bs[0]))
+    # image 1 slot 0: center half-extent box per frame
+    np.testing.assert_allclose(np.asarray(bt2[1, 0]), [40, 20, 120, 60])
+    np.testing.assert_allclose(np.asarray(bs2[1, 0]), [30, 15, 90, 45])
+    np.testing.assert_array_equal(np.asarray(bt2[1, 1:]),
+                                  np.asarray(bt[1, 1:]))
+    # the fake's normalized cxcywh is the sigmoid(0) padding box, so
+    # consistency positions are unchanged by the injection
+    np.testing.assert_allclose(
+        np.asarray(normalize_boxes(bs2[1:, :1], s_hw[1:])),
+        [[[0.5, 0.5, 0.5, 0.5]]], atol=1e-7)
