@@ -286,7 +286,7 @@ class DINODetector(nn.Module):
         return out
 
     def __call__(self, images, img_hw, gt=None, dn_rng=None,
-                 extra_queries=None):
+                 extra_queries=None, enc=None):
         """Full forward.
 
         Args:
@@ -297,12 +297,17 @@ class DINODetector(nn.Module):
           extra_queries: optional dict(content (B,Q1,C), bbox_unsig (B,Q1,4),
             attn_mask (T,T) bool True=blocked, optional cdn) — prepended
             front queries for SSOD (replaces gt-driven CDN construction).
+          enc: optional precomputed `encode_images` dict — lets callers
+            batch several branches' backbone+encoder passes into one
+            call and split the result (train/ssod.py fuses the 1-image
+            supervised encode into the unlabeled student encode).
 
         Returns dict with per-decoder-layer class/coord for the matching
         block, the dn block, encoder interim outputs, and cdn metadata.
         """
         c = self.cfg
-        enc = self.encode_images(images, img_hw)
+        if enc is None:
+            enc = self.encode_images(images, img_hw)
 
         cdn: Optional[CdnBatch] = None
         dn_tgt = dn_ref = attn_mask = None

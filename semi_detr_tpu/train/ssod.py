@@ -39,11 +39,25 @@ from ..ops.roi_align import multi_level_roi_align
 from .state import TrainState, copy_tree, ema_momentum, ema_update
 
 
+def _slice_enc(enc, lo, hi):
+    """Slice every batch-axis leaf of an encode_images dict (all leaves
+    are batch-first; 'spatial_shapes' is static metadata)."""
+    sp = enc["spatial_shapes"]
+    rest = {k: v for k, v in enc.items() if k != "spatial_shapes"}
+    out = jax.tree.map(lambda x: x[lo:hi], rest)
+    out["spatial_shapes"] = sp
+    return out
+
+
 def _unsup_forward_and_loss(detector: DINODetector, projector: Projector,
                             params, batch_stats, teacher_params,
                             batch: Dict[str, Any], rng, cfg: SsodConfig,
-                            warm_up: bool):
-    """Unsupervised branch: returns dict of losses (unweighted)."""
+                            warm_up: bool, s_enc=None):
+    """Unsupervised branch: returns dict of losses (unweighted).
+
+    s_enc: optional precomputed student encode of the unlabeled strong
+    view (from the fused sup+unsup encoder pass in make_ssod_train_step).
+    """
     c = cfg.dino
     un = batch["unsup"]
     student_vars = {"params": params["detector"], "batch_stats": batch_stats}
@@ -66,9 +80,10 @@ def _unsup_forward_and_loss(detector: DINODetector, projector: Projector,
 
     # ---- student: encoder ONCE; matching decode is fully detached at the
     # cost computation so no backward graph is built for it
-    s_enc = detector.apply(student_vars, un["student_images"],
-                           un["student_hw"],
-                           method=DINODetector.encode_images)
+    if s_enc is None:
+        s_enc = detector.apply(student_vars, un["student_images"],
+                               un["student_hw"],
+                               method=DINODetector.encode_images)
     s_match = detector.apply(student_vars, s_enc,
                              method=DINODetector.decode_queries)
     costs = pseudo_matching_costs(s_match["cls"][-1], s_match["coord"][-1],
@@ -242,11 +257,31 @@ def make_ssod_train_step(detector: DINODetector, projector: Projector,
 
         def loss_fn(params):
             losses: Dict[str, Any] = {}
+            student_vars = {"params": params["detector"],
+                            "batch_stats": state.batch_stats}
+            sup_imgs, sup_hw = batch["sup"]["images"], batch["sup"]["img_hw"]
+            un = batch["unsup"]
+            enc_sup = enc_unsup = None
+            if sup_imgs.shape[1:] == un["student_images"].shape[1:]:
+                # fuse the (small, often 1-image) supervised encode into
+                # the unlabeled strong-view encode: ONE backbone+encoder
+                # pass over Bs+Bu images. Mathematically exact — every
+                # op up to the encode outputs is per-image (frozen-BN
+                # backbone, GN, per-image attention/top-k); batched
+                # convs reorder f32 reductions for ~1e-6 rel drift
+                # (tested in test_train_components). Falls back to two
+                # passes when the buckets differ (multi-bucket steps).
+                bs_n = sup_imgs.shape[0]
+                enc_all = detector.apply(
+                    student_vars,
+                    jnp.concatenate([sup_imgs, un["student_images"]], 0),
+                    jnp.concatenate([sup_hw, un["student_hw"]], 0),
+                    method=DINODetector.encode_images)
+                enc_sup = _slice_enc(enc_all, 0, bs_n)
+                enc_unsup = _slice_enc(enc_all, bs_n, None)
             sup_out = detector.apply(
-                {"params": params["detector"],
-                 "batch_stats": state.batch_stats},
-                batch["sup"]["images"], batch["sup"]["img_hw"],
-                gt=batch["sup"]["gt"], dn_rng=rng_sup)
+                student_vars, sup_imgs, sup_hw,
+                gt=batch["sup"]["gt"], dn_rng=rng_sup, enc=enc_sup)
             sup_losses = detection_loss(
                 sup_out, batch["sup"]["gt"], c.num_classes, warm_up)
             sup_losses.pop("total")
@@ -254,7 +289,7 @@ def make_ssod_train_step(detector: DINODetector, projector: Projector,
 
             unsup_losses, metrics = _unsup_forward_and_loss(
                 detector, projector, params, state.batch_stats, teacher,
-                batch, rng_unsup, cfg, warm_up)
+                batch, rng_unsup, cfg, warm_up, s_enc=enc_unsup)
             losses.update({f"unsup_{k}": cfg.unsup_weight * v
                            for k, v in unsup_losses.items()})
             total = sum(v for k, v in losses.items() if "loss" in k)

@@ -348,3 +348,44 @@ def test_tp_sharding_spec_rules():
         == P(None, None, "model")
     assert sh2["params"]["fc_cls"]["kernel"].spec == \
         base["params"]["fc_cls"]["kernel"].spec
+
+
+def test_fused_encode_matches_separate():
+    """The fused sup+unsup encoder pass (train/ssod.py loss_fn) must
+    equal per-branch encodes up to f32 conv reduction-order drift:
+    every encode op is per-image, so batching is mathematically exact."""
+    from semi_detr_tpu.models.dino_head import DinoConfig, DINODetector
+
+    cfg = DinoConfig(num_classes=3, num_queries=16, d_model=64, n_heads=2,
+                     num_encoder_layers=1, num_decoder_layers=2, d_ffn=64,
+                     dn_single_pad=4, dn_groups=2)
+    det = DINODetector(cfg)
+    rng = jax.random.PRNGKey(0)
+    imgs = jax.random.uniform(rng, (3, 64, 96, 3), jnp.float32)
+    hw = jnp.asarray([[64, 96], [60, 80], [64, 90]], jnp.int32)
+    vars_ = det.init(rng, imgs[:1], hw[:1])
+
+    enc_all = det.apply(vars_, imgs, hw, method=DINODetector.encode_images)
+    enc_a = det.apply(vars_, imgs[:1], hw[:1],
+                      method=DINODetector.encode_images)
+    enc_b = det.apply(vars_, imgs[1:], hw[1:],
+                      method=DINODetector.encode_images)
+    for k in ("memory", "tgt", "refpoint_unsig", "enc_out_class",
+              "enc_out_coord"):
+        a = np.asarray(enc_all[k])
+        s = np.concatenate([np.asarray(enc_a[k]), np.asarray(enc_b[k])])
+        np.testing.assert_allclose(a, s, atol=1e-5, rtol=1e-4,
+                                   err_msg=k)
+
+    # __call__(enc=...) consumes a precomputed encode bit-identically
+    # to computing the same encode internally; _slice_enc carves a
+    # batch slice with the static metadata intact
+    from semi_detr_tpu.train.ssod import _slice_enc
+    sl = _slice_enc(enc_all, 0, 1)
+    assert sl["spatial_shapes"] == enc_all["spatial_shapes"]
+    assert sl["memory"].shape[0] == 1
+    out_pre = det.apply(vars_, imgs[:1], hw[:1], enc=enc_a)
+    out_int = det.apply(vars_, imgs[:1], hw[:1])
+    for k in ("cls", "coord"):
+        np.testing.assert_array_equal(np.asarray(out_pre[k]),
+                                      np.asarray(out_int[k]))
