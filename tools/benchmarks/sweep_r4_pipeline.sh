@@ -33,8 +33,10 @@ run() {  # run TIMEOUT CMD...
   echo "=== exit $? ($(date +%H:%M:%S)) ===" >> "$LOG"
 }
 
-# 1. canonical bench (has its own internal lock waits -> generous cap)
-run 6000 python bench.py
+# 1. canonical bench — NO flock wrapper: bench.py takes the same lock
+# internally (wrapping it deadlocks for its whole 3000 s bounded wait)
+echo "=== python bench.py ($(date +%H:%M:%S))" >> "$LOG"
+timeout 6000 python bench.py >> "$LOG" 2>&1
 # 2. real-trainer rehearsal at the new pipeline defaults
 run 6000 python tools/recipe_rehearsal.py --steps 300 --imgs 100 \
   --workdir /tmp/rehearsal_u8
