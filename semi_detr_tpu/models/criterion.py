@@ -38,8 +38,30 @@ def _pmean(x, axis_name):
     return jax.lax.pmean(x, axis_name) if axis_name else x
 
 
+def _grouped_cls_weights(num_pos_per_img, cls_group: Optional[int]):
+    """Per-image loss scales reproducing the reference's UNSYNCED cls
+    avg factor (sync_cls_avg_factor=False, dino_detr_ssod_head.py:86,
+    :763-770): each consecutive group of `cls_group` images stands in
+    for one reference GPU, its cls loss is normalized by the group's own
+    positive count, and DDP's gradient averaging then means the per-GPU
+    losses. Returns w (B,) with sum_i(l_i * w_i) ==
+    mean_g(sum_{i in g} l_i / max(pos_g, 1)), or None for cls_group in
+    (None, 0) / non-divisible batches -> caller keeps the global
+    (sync-semantics) factor, the repo default."""
+    if not cls_group:
+        return None
+    b = num_pos_per_img.shape[0]
+    if b % cls_group != 0:
+        return None
+    n = b // cls_group
+    chunk = jnp.maximum(
+        num_pos_per_img.reshape(n, cls_group).sum(1), 1.0)   # (n,)
+    return jnp.repeat(1.0 / (chunk * n), cls_group, total_repeat_length=b)
+
+
 def _layer_loss(cls_scores, bbox_preds, gt, warm_up: bool, num_classes: int,
-                axis_name: Optional[str], prefix: str) -> Dict[str, Any]:
+                axis_name: Optional[str], prefix: str,
+                cls_group: Optional[int] = None) -> Dict[str, Any]:
     """Loss for one decoder layer's matching block across the batch.
     cls_scores (B, Nq, K); bbox_preds (B, Nq, 4); gt dict of
     boxes (B,G,4) cxcywh-normalized / labels (B,G) / valid (B,G)."""
@@ -66,17 +88,24 @@ def _layer_loss(cls_scores, bbox_preds, gt, warm_up: bool, num_classes: int,
         # sync_cls_avg_factor=False (dino_detr_head.py:83,122 — cls
         # normalized by the PER-GPU positive count, a DDP artifact that
         # ties the cls scale to device count) but always reduce_means the
-        # regression factor (:700-704). Under shard_map (axis_name set)
-        # the un-pmean'd cls_avg reproduces that per-shard artifact
-        # exactly. The live path, though, is jit+sharding with
-        # axis_name=None: num_total_pos is then the GLOBAL positive count
-        # for BOTH factors — i.e. sync_cls_avg_factor=True /
-        # official-DETR semantics. Deliberate deviation: device-count
-        # invariant, and equal in expectation to the reference's per-GPU
-        # normalization at its published batch.
-        cls_avg = jnp.maximum(num_total_pos, 1.0)
-        out[f"{prefix}loss_cls"] = CLS_W * losses.sigmoid_focal_loss(
-            cls_scores, tg.labels, tg.label_weights, cls_avg, num_classes)
+        # regression factor (:700-704). Default here: num_total_pos is
+        # the GLOBAL positive count for BOTH factors — i.e.
+        # sync_cls_avg_factor=True / official-DETR semantics, a
+        # deliberate device-count-invariant deviation. `cls_group` opts
+        # into the reference-exact per-GPU artifact mesh-independently:
+        # each group of cls_group consecutive images = one reference GPU
+        # (see _grouped_cls_weights). Under shard_map (axis_name set)
+        # the un-pmean'd cls_avg also reproduces the per-shard artifact.
+        gw = _grouped_cls_weights(tg.num_pos.astype(jnp.float32), cls_group)
+        if gw is not None:
+            out[f"{prefix}loss_cls"] = CLS_W * losses.sigmoid_focal_loss(
+                cls_scores, tg.labels, tg.label_weights * gw[:, None],
+                1.0, num_classes)
+        else:
+            cls_avg = jnp.maximum(num_total_pos, 1.0)
+            out[f"{prefix}loss_cls"] = CLS_W * losses.sigmoid_focal_loss(
+                cls_scores, tg.labels, tg.label_weights, cls_avg,
+                num_classes)
         reg_avg = jnp.maximum(_pmean(num_total_pos, axis_name), 1.0)
 
     out[f"{prefix}loss_iou"] = GIOU_W * losses.giou_loss(
@@ -91,7 +120,8 @@ def _layer_loss(cls_scores, bbox_preds, gt, warm_up: bool, num_classes: int,
 
 def _dn_layer_loss(cls_scores, bbox_preds, gt, cdn: CdnBatch,
                    num_classes: int,
-                   axis_name: Optional[str], prefix: str) -> Dict[str, Any]:
+                   axis_name: Optional[str], prefix: str,
+                   cls_group: Optional[int] = None) -> Dict[str, Any]:
     """DN loss for one decoder layer. Targets by construction from the
     static CDN layout."""
     B, pad, _ = cls_scores.shape
@@ -121,12 +151,22 @@ def _dn_layer_loss(cls_scores, bbox_preds, gt, cdn: CdnBatch,
     bbox_targets = bbox_targets * pos_mask[..., None]
 
     num_total_pos = pos_mask.sum()
-    cls_avg = jnp.maximum(num_total_pos, 1.0)
     reg_avg = jnp.maximum(_pmean(num_total_pos, axis_name), 1.0)
 
+    # same per-GPU-vs-global cls factor semantics as _layer_loss
+    # (reference dn cls factor at dino_detr_ssod_head.py:835-848)
+    gw = _grouped_cls_weights(pos_mask.sum(1), cls_group)
+    if gw is not None:
+        dn_cls = CLS_W * losses.sigmoid_focal_loss(
+            cls_scores, labels, label_weights * gw[:, None], 1.0,
+            num_classes)
+    else:
+        dn_cls = CLS_W * losses.sigmoid_focal_loss(
+            cls_scores, labels, label_weights,
+            jnp.maximum(num_total_pos, 1.0), num_classes)
+
     out = {
-        f"{prefix}dn_loss_cls": CLS_W * losses.sigmoid_focal_loss(
-            cls_scores, labels, label_weights, cls_avg, num_classes),
+        f"{prefix}dn_loss_cls": dn_cls,
         f"{prefix}dn_loss_iou": GIOU_W * losses.giou_loss(
             box_ops.cxcywh_to_xyxy(bbox_preds),
             box_ops.cxcywh_to_xyxy(bbox_targets),
@@ -143,21 +183,28 @@ def _dn_layer_loss(cls_scores, bbox_preds, gt, cdn: CdnBatch,
 def detection_loss(outputs: Dict[str, Any], gt: Dict[str, Any],
                    num_classes: int, warm_up: bool,
                    axis_name: Optional[str] = None,
-                   is_pseudo_label: bool = False) -> Dict[str, Any]:
+                   is_pseudo_label: bool = False,
+                   cls_group: Optional[int] = None) -> Dict[str, Any]:
     """Full DINO loss. `outputs` from DINODetector.__call__ (training mode
-    with CDN). Returns dict of named losses + 'total'."""
+    with CDN). Returns dict of named losses + 'total'.
+
+    cls_group: opt-in reference-exact per-GPU cls avg factor — images per
+    reference GPU for this branch (see _grouped_cls_weights); None (the
+    default) keeps the global sync-semantics factor."""
     n_dec = outputs["cls"].shape[0]
     out: Dict[str, Any] = {}
 
     for lid in range(n_dec):
         prefix = "" if lid == n_dec - 1 else f"d{lid}."
         out.update(_layer_loss(outputs["cls"][lid], outputs["coord"][lid],
-                               gt, warm_up, num_classes, axis_name, prefix))
+                               gt, warm_up, num_classes, axis_name, prefix,
+                               cls_group))
 
     # encoder interim loss with class-agnostic labels (reference :568-571)
     bin_gt = dict(gt, labels=jnp.zeros_like(gt["labels"]))
     out.update(_layer_loss(outputs["enc_cls"], outputs["enc_coord"], bin_gt,
-                           warm_up, num_classes, axis_name, "enc_"))
+                           warm_up, num_classes, axis_name, "enc_",
+                           cls_group))
 
     if "front_cls" in outputs and "cdn" in outputs:
         if warm_up and is_pseudo_label:
@@ -172,7 +219,7 @@ def detection_loss(outputs: Dict[str, Any], gt: Dict[str, Any],
                 out.update(_dn_layer_loss(
                     outputs["front_cls"][lid], outputs["front_coord"][lid],
                     gt, outputs["cdn"], num_classes, axis_name,
-                    prefix))
+                    prefix, cls_group))
 
     out["total"] = sum(v for k, v in out.items() if "loss" in k)
     return out

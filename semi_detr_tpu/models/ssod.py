@@ -23,15 +23,16 @@ teacher consistency forward, AdamW) is ONE compiled XLA program:
   pass — the attention mask guarantees consistency queries never influence
   matching/dn outputs, so skipping is bitwise behavior-preserving.
 
-Documented deviations (static-shape driven, all weight-0 or capacity
-semantics): empty-image consistency fallback boxes ([w/4,h/4,3w/4,3h/4]
-with loss weight 0, `:516,577`) become empty masked slots; the Projector's
-BatchNorm uses masked batch statistics over real RoIs only.
+The empty-image consistency fallback box ([w/4,h/4,3w/4,3h/4] with loss
+weight 0, `:516,577`) is reproduced exactly (`inject_fake_consistency_roi`):
+it joins the Projector's BatchNorm batch statistics and occupies a known
+slot per group; the BN statistics are otherwise masked to real RoIs —
+matching the reference, whose BN sees exactly the known (real + fake) set.
 """
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import flax.linen as nn
 import jax
@@ -65,6 +66,11 @@ class SsodConfig:
     # unused (None) in every active reference config
     ema_decay_intervals: tuple = ()
     ema_decay_factor: float = 0.1
+    # opt-in reference-exact per-GPU cls avg factor (the reference runs
+    # sync_cls_avg_factor=False): images per reference GPU for the
+    # (sup, unsup) branches — the recipe's sample_ratio, e.g. (1, 4).
+    # None keeps the global device-count-invariant factor (default).
+    cls_avg_groups: Optional[tuple] = None
 
     @property
     def cons_pad(self) -> int:

@@ -383,9 +383,11 @@ class SupervisedTrainer:
                  multi_bucket: bool = False,
                  fsdp: bool = False, tp: int = 1,
                  donate: bool = False,
-                 use_wandb: bool = False):
+                 use_wandb: bool = False,
+                 cls_avg_group=None):
         self.cfg = cfg
         self.donate = donate
+        self.cls_avg_group = cls_avg_group
         self.multi_bucket = multi_bucket
         self.scales = scales
         self.dataset = dataset
@@ -433,7 +435,8 @@ class SupervisedTrainer:
         if warm_up not in self._steps:
             self._steps[warm_up] = make_supervised_train_step(
                 self.detector, self.tx, warm_up=warm_up, mesh=self.mesh,
-                donate=self.donate, state_sharding=self.state_sharding)
+                donate=self.donate, state_sharding=self.state_sharding,
+                cls_avg_group=self.cls_avg_group)
         return self._steps[warm_up]
 
     def resume(self, path: Optional[str] = None):

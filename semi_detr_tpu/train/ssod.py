@@ -177,7 +177,8 @@ def _unsup_forward_and_loss(detector: DINODetector, projector: Projector,
 
     out_losses.update(detection_loss(
         crit_out, unsup_gt, c.num_classes, warm_up,
-        is_pseudo_label=True))
+        is_pseudo_label=True,
+        cls_group=cfg.cls_avg_groups[1] if cfg.cls_avg_groups else None))
     out_losses.pop("total")
 
     if warm_up:
@@ -283,7 +284,9 @@ def make_ssod_train_step(detector: DINODetector, projector: Projector,
                 student_vars, sup_imgs, sup_hw,
                 gt=batch["sup"]["gt"], dn_rng=rng_sup, enc=enc_sup)
             sup_losses = detection_loss(
-                sup_out, batch["sup"]["gt"], c.num_classes, warm_up)
+                sup_out, batch["sup"]["gt"], c.num_classes, warm_up,
+                cls_group=(cfg.cls_avg_groups[0]
+                           if cfg.cls_avg_groups else None))
             sup_losses.pop("total")
             losses.update({f"sup_{k}": v for k, v in sup_losses.items()})
 

@@ -30,11 +30,16 @@ def make_supervised_train_step(model: DINODetector,
                                ema_warm: int = 0,
                                mesh=None,
                                donate: bool = False,
-                               state_sharding=None):
+                               state_sharding=None,
+                               cls_avg_group=None):
     """Returns step(state, batch, rng) -> (state, metrics).
 
     batch: {images (B,H,W,3) f32, img_hw (B,2) i32,
             gt: {boxes (B,G,4) cxcywh-norm, labels (B,G) i32, valid (B,G)}}
+
+    cls_avg_group: opt-in reference-exact per-GPU cls avg factor —
+    images per reference GPU (its samples_per_gpu, e.g. 2); None (the
+    default) keeps the global sync-semantics factor.
     """
     cfg = model.cfg
 
@@ -57,7 +62,7 @@ def make_supervised_train_step(model: DINODetector,
                 batch["images"], batch["img_hw"], gt=batch["gt"],
                 dn_rng=rng)
             losses = detection_loss(out, batch["gt"], cfg.num_classes,
-                                    warm_up)
+                                    warm_up, cls_group=cls_avg_group)
             return losses["total"], losses
 
         (_, losses), grads = jax.value_and_grad(

@@ -152,3 +152,54 @@ def test_task_aligned_focal_loss_saturated_logits_finite():
     out = float(losses.task_aligned_focal_loss(
         logits, labels, jnp.asarray([0.5]), jnp.ones((1,)), 1.0, 2))
     assert np.isfinite(out)
+
+
+def test_grouped_cls_avg_factor():
+    """cls_group reproduces the reference's unsynced per-GPU cls avg
+    factor (sync_cls_avg_factor=False, dino_detr_ssod_head.py:763-770):
+    per-group normalization + DDP gradient mean. cls_group == full batch
+    must equal the default global factor; per-image groups must equal a
+    hand-computed mean of per-image-normalized losses."""
+    from semi_detr_tpu.models.criterion import _grouped_cls_weights
+
+    pos = jnp.asarray([3.0, 1.0])
+    w = np.asarray(_grouped_cls_weights(pos, 1))
+    np.testing.assert_allclose(w, [1 / (3 * 2), 1 / (1 * 2)])
+    # one group spanning the batch = global normalization
+    np.testing.assert_allclose(np.asarray(_grouped_cls_weights(pos, 2)),
+                               [1 / 4, 1 / 4])
+    # empty group clamps to 1 (reference max(cls_avg_factor, 1))
+    w0 = np.asarray(_grouped_cls_weights(jnp.asarray([0.0, 2.0]), 1))
+    np.testing.assert_allclose(w0, [1 / 2, 1 / (2 * 2)])
+    # non-divisible or disabled -> None (global path)
+    assert _grouped_cls_weights(jnp.asarray([1.0, 1.0, 1.0]), 2) is None
+    assert _grouped_cls_weights(pos, None) is None
+
+    # end to end: batch-wide group == default detection_loss
+    n_dec, b, nq, k, g = 2, 2, 8, 3, 4
+    rs = np.random.RandomState(1)
+    outputs = {
+        "cls": jnp.asarray(rs.randn(n_dec, b, nq, k).astype(np.float32)),
+        "coord": jnp.asarray(
+            rs.rand(n_dec, b, nq, 4).astype(np.float32) * .5 + .25),
+        "enc_cls": jnp.asarray(rs.randn(b, nq, k).astype(np.float32)),
+        "enc_coord": jnp.asarray(
+            rs.rand(b, nq, 4).astype(np.float32) * .5 + .25),
+    }
+    gt = {"boxes": jnp.asarray(
+        rs.rand(b, g, 4).astype(np.float32) * .3 + .3),
+        "labels": jnp.zeros((b, g), jnp.int32),
+        "valid": jnp.asarray([[True, True, False, False],
+                              [True, False, False, False]])}
+    base = detection_loss(outputs, gt, k, warm_up=False)
+    full = detection_loss(outputs, gt, k, warm_up=False, cls_group=b)
+    for key in base:
+        if "loss_cls" in key:
+            np.testing.assert_allclose(float(full[key]), float(base[key]),
+                                       rtol=1e-6, err_msg=key)
+    # per-image groups change the cls losses (3 vs 1 positives) but
+    # leave the reg losses (always globally reduce_mean'd) untouched
+    per = detection_loss(outputs, gt, k, warm_up=False, cls_group=1)
+    assert float(per["loss_cls"]) != pytest.approx(float(base["loss_cls"]))
+    np.testing.assert_allclose(float(per["loss_bbox"]),
+                               float(base["loss_bbox"]), rtol=1e-6)

@@ -87,6 +87,8 @@ def ssod_config(cfg) -> SsodConfig:
     s.pop("type", None)
     if "ema_decay_intervals" in s:
         s["ema_decay_intervals"] = tuple(s["ema_decay_intervals"] or ())
+    if s.get("cls_avg_groups") is not None:
+        s["cls_avg_groups"] = tuple(s["cls_avg_groups"])
     return SsodConfig(dino=dino_config(cfg), **s)
 
 

@@ -40,7 +40,10 @@ def main():
         fsdp=bool(cfg.get("fsdp", False)),
         tp=int(cfg.get("tp", 1)),
         donate=bool(cfg.get("donate", False)),
-        use_wandb=bool(cfg.get("use_wandb", False)))
+        use_wandb=bool(cfg.get("use_wandb", False)),
+        # opt-in reference-exact per-GPU cls avg factor (its
+        # samples_per_gpu); default None = global sync semantics
+        cls_avg_group=cfg.get("cls_avg_group"))
     if args.resume_from:
         trainer.resume(args.resume_from)
     elif trainer.ckpt.latest_step() is not None:
