@@ -74,6 +74,18 @@ _FWD_NO_GATHER = os.environ.get("SDT_FWD_NO_GATHER") == "1"
 # switch for A/Bs.
 _PACKED_GATHER = os.environ.get("SDT_PACKED_GATHER", "1") == "1"
 
+# Forward one-hot-MXU accumulate (EXPERIMENT, default off): replace the
+# 16 per-window lane gathers (the measured fwd hot spot: gathers are
+# ~30 ms of the 51 ms encoder-scale layer call; ablation row
+# 'fwd gathers ablated') with the backward's C-matrix trick — build
+# C[token, query] = sum of weighted one-hots over all 16 (point,
+# corner) pairs, then ONE f32 MXU matmul tile @ C per window. The bwd
+# ablations price C build + matmul at ~5 ms/layer-call, so this should
+# roughly halve the fwd kernel. Forces the unpacked f32 slab (the MXU
+# can't consume pair-packed i32 lanes). Exact up to f32 summation
+# order. A/B as SDT_FWD_MXU=1 before defaulting.
+_FWD_MXU = os.environ.get("SDT_FWD_MXU") == "1"
+
 # bf16 scatter matrix C in the backward (EXPERIMENT, default off): the
 # offline vreg model (ROADMAP P0.6) says building the (128,128) one-hot
 # C dominates the bwd per-window cost at D=32/P=4 — 16 f32 vregs per
@@ -258,10 +270,13 @@ def _unpack_bf16_pair(g):
 
 def _fwd_kernel(locx_ref, locy_ref, attn_ref, value_ref, out_ref, *,
                 spatial_shapes: Tuple[Tuple[int, int], ...], n_points: int,
-                packed: bool = False):
+                packed: bool = False, fwd_mxu: bool = False):
     """locx/locy/attn (1,1,LP,BQ) f32; value (1,1,NT,D,BQ) f32 or
     (1,1,NT,D/2,BQ) packed-bf16 i32; out (1,1,D,BQ) (packed: rows are
-    [even channels; odd channels] — the wrapper re-interleaves)."""
+    [even channels; odd channels] — the wrapper re-interleaves).
+
+    fwd_mxu: accumulate each window through one C-matrix MXU matmul
+    instead of 16 lane gathers (see _FWD_MXU; requires unpacked f32)."""
     P = n_points
     D = out_ref.shape[2]
     dg = value_ref.shape[3]                 # gather rows (D or D/2)
@@ -272,6 +287,8 @@ def _fwd_kernel(locx_ref, locy_ref, attn_ref, value_ref, out_ref, *,
                                   spatial_shapes, P)
 
     attn_c = jnp.maximum(attn, 0.0)         # clamp the -1 pad sentinel
+    iota_tok = (jax.lax.broadcasted_iota(jnp.int32, (_BQ, _BQ), 0)
+                if fwd_mxu else None)
     acc = jnp.zeros((D, _BQ), jnp.float32)
     for l, (h, w, hp, wp, ntr, ntc, _, tstart) in enumerate(geom):
         lo, hi = l * P, (l + 1) * P
@@ -285,6 +302,21 @@ def _fwd_kernel(locx_ref, locy_ref, attn_ref, value_ref, out_ref, *,
             r = k // ncol
             wnd = tstart + (rmin + r) * ntc + (cmin + k - r * ncol)
             tile = value_ref[0, 0, wnd]                       # (dg, BQ)
+            if fwd_mxu:
+                C = jnp.zeros((_BQ, _BQ), jnp.float32)  # (token, query)
+                for ci in range(4):
+                    m_all = jnp.where(wins[ci] == wnd, wgts[ci], 0.0)
+                    for p in range(P):
+                        onehot = iota_tok == jnp.broadcast_to(
+                            lanes[ci][p:p + 1], (_BQ, _BQ))
+                        C = C + jnp.where(
+                            onehot,
+                            jnp.broadcast_to(m_all[p:p + 1], (_BQ, _BQ)),
+                            0.0)
+                return acc + jax.lax.dot_general(
+                    tile, C, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
             for ci in range(4):
                 m_all = jnp.where(wins[ci] == wnd, wgts[ci], 0.0)
                 for p in range(P):
@@ -404,6 +436,8 @@ def ms_deform_attn_pallas(value: jax.Array,
     if packed is None:
         packed = (_PACKED_GATHER and value.dtype == jnp.bfloat16
                   and D % 2 == 0)
+    if _FWD_MXU:
+        packed = False          # the MXU path needs the unpacked f32 slab
     geom, NT = _tile_geom(spatial_shapes)
     v, locx, locy, attn, tiled_q, lq_t = _prep_inputs(
         value, spatial_shapes, sampling_locations, attention_weights,
@@ -412,7 +446,8 @@ def ms_deform_attn_pallas(value: jax.Array,
 
     grid = (N, M, lq_t // _BQ)
     kernel = functools.partial(_fwd_kernel, spatial_shapes=spatial_shapes,
-                               n_points=P, packed=packed)
+                               n_points=P, packed=packed,
+                               fwd_mxu=_FWD_MXU)
 
     out = pl.pallas_call(
         kernel,
