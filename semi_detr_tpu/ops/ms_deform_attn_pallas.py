@@ -81,10 +81,15 @@ _PACKED_GATHER = os.environ.get("SDT_PACKED_GATHER", "1") == "1"
 # C[token, query] = sum of weighted one-hots over all 16 (point,
 # corner) pairs, then ONE f32 MXU matmul tile @ C per window. The bwd
 # ablations price C build + matmul at ~5 ms/layer-call, so this should
-# roughly halve the fwd kernel. Forces the unpacked f32 slab (the MXU
-# can't consume pair-packed i32 lanes). Exact up to f32 summation
-# order. A/B as SDT_FWD_MXU=1 before defaulting.
-_FWD_MXU = os.environ.get("SDT_FWD_MXU") == "1"
+# roughly halve the fwd kernel. Forces an unpacked slab (the MXU can't
+# consume pair-packed i32 lanes). Modes: 1 = f32 slab + f32 C + 6-pass
+# HIGHEST matmul (exact up to f32 summation order); 2 = bf16 slab +
+# bf16 C + ONE native MXU pass (f32 accumulate) — value AND weight
+# rounded to bf16, the same error class as the accepted packed-gather
+# bf16 sampling and the kernel's own bf16 output cast, so only
+# meaningful for bf16 value tensors (the flagship). A/B before
+# defaulting.
+_FWD_MXU = int(os.environ.get("SDT_FWD_MXU", "0") or "0")
 
 # bf16 scatter matrix C in the backward (EXPERIMENT, default off): the
 # offline vreg model (ROADMAP P0.6) says building the (128,128) one-hot
@@ -303,20 +308,23 @@ def _fwd_kernel(locx_ref, locy_ref, attn_ref, value_ref, out_ref, *,
             wnd = tstart + (rmin + r) * ntc + (cmin + k - r * ncol)
             tile = value_ref[0, 0, wnd]                       # (dg, BQ)
             if fwd_mxu:
-                C = jnp.zeros((_BQ, _BQ), jnp.float32)  # (token, query)
+                c_dt = jnp.bfloat16 if fwd_mxu == 2 else jnp.float32
+                C = jnp.zeros((_BQ, _BQ), c_dt)         # (token, query)
                 for ci in range(4):
-                    m_all = jnp.where(wins[ci] == wnd, wgts[ci], 0.0)
+                    m_all = jnp.where(wins[ci] == wnd, wgts[ci],
+                                      0.0).astype(c_dt)
                     for p in range(P):
                         onehot = iota_tok == jnp.broadcast_to(
                             lanes[ci][p:p + 1], (_BQ, _BQ))
                         C = C + jnp.where(
                             onehot,
                             jnp.broadcast_to(m_all[p:p + 1], (_BQ, _BQ)),
-                            0.0)
+                            c_dt(0))
                 return acc + jax.lax.dot_general(
                     tile, C, (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST)
+                    precision=(None if fwd_mxu == 2
+                               else jax.lax.Precision.HIGHEST))
             for ci in range(4):
                 m_all = jnp.where(wins[ci] == wnd, wgts[ci], 0.0)
                 for p in range(P):
@@ -337,7 +345,8 @@ def _fwd_kernel(locx_ref, locy_ref, attn_ref, value_ref, out_ref, *,
 
 def _prep_inputs(value, spatial_shapes, sampling_locations,
                  attention_weights, packed: bool = False,
-                 value_tiled: bool = False, queries_tiled: bool = False):
+                 value_tiled: bool = False, queries_tiled: bool = False,
+                 slab_dtype=jnp.float32):
     """Common host-side layout for fwd/bwd: tiled value slab + kernel
     query layouts. Returns (v, locx, locy, attn, tiled_q, lq_t).
 
@@ -395,7 +404,9 @@ def _prep_inputs(value, spatial_shapes, sampling_locations,
         v = jax.lax.bitcast_convert_type(
             (odd << 16) | even, jnp.int32)       # (N, M, NT, D/2, 128)
     else:
-        vf = value.astype(jnp.float32)
+        # slab_dtype bf16: the fwd-MXU mode-2 slab (halves VMEM; value
+        # sampling in bf16, the packed-gather numerics)
+        vf = value.astype(slab_dtype)
         if not value_tiled:
             vf = _tile_tokens(vf, spatial_shapes)
         v = vf.reshape(N, NT, _BQ, M, D).transpose(0, 3, 1, 4, 2)
@@ -436,18 +447,22 @@ def ms_deform_attn_pallas(value: jax.Array,
     if packed is None:
         packed = (_PACKED_GATHER and value.dtype == jnp.bfloat16
                   and D % 2 == 0)
-    if _FWD_MXU:
-        packed = False          # the MXU path needs the unpacked f32 slab
+    fwd_mxu = _FWD_MXU
+    if fwd_mxu == 2 and value.dtype != jnp.bfloat16:
+        fwd_mxu = 1             # bf16 mode only for bf16 value tensors
+    slab_dtype = jnp.bfloat16 if fwd_mxu == 2 else jnp.float32
+    if fwd_mxu:
+        packed = False          # the MXU path needs an unpacked slab
     geom, NT = _tile_geom(spatial_shapes)
     v, locx, locy, attn, tiled_q, lq_t = _prep_inputs(
         value, spatial_shapes, sampling_locations, attention_weights,
         packed=packed, value_tiled=value_tiled,
-        queries_tiled=queries_tiled)
+        queries_tiled=queries_tiled, slab_dtype=slab_dtype)
 
     grid = (N, M, lq_t // _BQ)
     kernel = functools.partial(_fwd_kernel, spatial_shapes=spatial_shapes,
                                n_points=P, packed=packed,
-                               fwd_mxu=_FWD_MXU)
+                               fwd_mxu=fwd_mxu)
 
     out = pl.pallas_call(
         kernel,
