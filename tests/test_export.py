@@ -7,6 +7,7 @@ deserializes, and checks the artifact reproduces the in-process outputs
 re-lowered, so fusions can differ) on the same platform.
 """
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -18,6 +19,7 @@ TINY = DinoConfig(num_classes=7, num_queries=24, d_model=64, n_heads=2,
                   dn_single_pad=4, dn_groups=2, max_gt=8)
 
 
+@pytest.mark.slow
 def test_stablehlo_export_roundtrip():
     from jax import export as jexport
 

@@ -446,6 +446,7 @@ def _compare(tmodel, variables, images_np, img_hw_np, with_dn, atol):
                                err_msg="enc coord")
 
 
+@pytest.mark.slow
 def test_full_forward_parity_cdn_queries():
     """No padding (both images fill the canvas): logits/boxes of every
     decoder layer + dn block + encoder interim outputs match torch."""
@@ -455,6 +456,7 @@ def test_full_forward_parity_cdn_queries():
     _compare(tmodel, variables, images, img_hw, with_dn=True, atol=5e-4)
 
 
+@pytest.mark.slow
 def test_full_forward_parity_padded_batch():
     """Mixed image sizes: exercises per-level interpolated masks, PE
     normalization, valid ratios, and proposal/selection masking.

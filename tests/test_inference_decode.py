@@ -57,6 +57,7 @@ def test_decode_nms_suppresses_duplicates():
     assert set(lbl.tolist()) == {0, 1}
 
 
+@pytest.mark.slow
 def test_predictor_portrait_image(tmp_path):
     """The public api must orient the bucket per image aspect (regression:
     portrait images crashed pack()'s fit assert)."""

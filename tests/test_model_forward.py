@@ -94,6 +94,7 @@ def test_backbone_shapes_match_static_arithmetic(model_and_params):
     assert shapes == backbone_spatial_shapes((100, 150))
 
 
+@pytest.mark.slow
 def test_bf16_dtype_propagates_through_transformer():
     """cfg.dtype=bfloat16 must reach the encoder/decoder compute stream
     (regression: GroupNorm/Dense defaulted to f32 promotion, silently
@@ -128,6 +129,7 @@ def test_bf16_dtype_propagates_through_transformer():
     assert jnp.isfinite(out["cls"].astype(jnp.float32)).all()
 
 
+@pytest.mark.slow
 def test_scan_unroll_is_numerically_identical():
     """scan_unroll is a pure perf knob: lax.scan unroll must not change
     any output bit (same params via identical init seed, same math)."""

@@ -189,6 +189,7 @@ def test_packed_bf16_gather_matches_bf16_oracle():
                                np.asarray(got32), rtol=3e-2, atol=3e-2)
 
 
+@pytest.mark.slow
 def test_bwd_c_bf16_dv_close_dloc_dattn_exact():
     """SDT_BWD_C_BF16 path: d_value within bf16 rounding of the f32
     scatter (weights + cotangent rounded, accumulation stays f32);

@@ -350,6 +350,7 @@ def test_tp_sharding_spec_rules():
         base["params"]["fc_cls"]["kernel"].spec
 
 
+@pytest.mark.slow
 def test_fused_encode_matches_separate():
     """The fused sup+unsup encoder pass (train/ssod.py loss_fn) must
     equal per-branch encodes up to f32 conv reduction-order drift:
