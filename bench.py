@@ -193,5 +193,37 @@ def main():
     print(json.dumps(out))
 
 
+def _supervise():
+    """Crash-resilient wrapper: the axon TPU worker intermittently dies
+    mid-run ('TPU worker process crashed or restarted', 3x on
+    2026-08-19), which kills the whole in-process bench. Run the real
+    bench as a child and retry up to 3 times — a fresh process gets a
+    fresh TPU client; the persistent compilation cache makes retries
+    cheap. The child's LAST stdout line is the tracked JSON line."""
+    env = dict(os.environ, SDT_BENCH_CHILD="1")
+    last_line = None
+    for attempt in range(3):
+        r = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                           env=env, capture_output=True, text=True)
+        lines = [ln for ln in r.stdout.splitlines() if ln.strip()]
+        if r.returncode == 0 and lines:
+            print(lines[-1])
+            return
+        last_line = lines[-1] if lines else None
+        print(f"bench: child attempt {attempt + 1}/3 failed "
+              f"(rc={r.returncode})", file=sys.stderr)
+        sys.stderr.write(r.stderr[-2000:] + "\n")
+        time.sleep(60)
+    # all attempts failed: emit an explicit failure record (never an
+    # inherited stale number)
+    print(json.dumps({
+        "metric": "train_images_per_sec_chip", "value": None,
+        "unit": "FAILED: TPU worker crashed on all 3 bench attempts",
+        "vs_baseline": None, "partial_stdout": last_line}))
+
+
 if __name__ == "__main__":
-    main()
+    if os.environ.get("SDT_BENCH_CHILD") == "1":
+        main()
+    else:
+        _supervise()
