@@ -17,6 +17,16 @@ throughput of 2.5 img/s/GPU (typical Semi-DETR/DINO-R50 A100 iteration
 is ~1.5-2.5 s at bs5 -> 2-3.3 img/s; 2.5 is the midpoint estimate used
 consistently across rounds; vs_baseline >= 2.0 meets the north star).
 
+Crash resilience (round-5 redesign after BENCH_r04 died rc=124 with all
+three child attempts kernel-faulting at the landed defaults): the retry
+ladder now DEGRADES instead of retrying the identical configuration —
+attempt 1 = landed defaults, attempt 2 = safe-kernel knobs
+(SDT_PACKED_GATHER=0, scan_unroll=1, tiled_tokens off), attempt 3 =
+safe knobs + fewer iters — and the whole run is bounded by a wall-clock
+budget (SDT_BENCH_BUDGET_S, default 3000 s) so a JSON line always lands
+inside the driver's timeout. A degraded measurement records its knobs in
+the "unit" string so the tracked series stays honest.
+
 Compiles are served by the persistent compilation cache
 (JAX_COMPILATION_CACHE_DIR), so reruns skip the ~10 min flagship compile.
 """
@@ -33,8 +43,11 @@ import contextlib
 import subprocess
 import sys
 
-import jax
-import jax.numpy as jnp
+_T0 = time.monotonic()
+# total wall budget for the supervisor (probe + all attempts); the
+# driver killed r4 at its own timeout before even the failure JSON
+# printed, so stay comfortably inside it
+_BUDGET_S = float(os.environ.get("SDT_BENCH_BUDGET_S", "3000"))
 
 A100_REF_IMG_PER_SEC = 2.5   # estimated reference throughput (see header)
 # Sensitivity bounds on the estimate: the reference publishes NO
@@ -49,15 +62,17 @@ A100_REF_BOUNDS = (2.0, 3.3)
 _TPU_LOCK = "/tmp/sdt_tpu.lock"
 
 
+def _remaining():
+    return _BUDGET_S - (time.monotonic() - _T0)
+
+
 @contextlib.contextmanager
-def _tpu_lock(max_wait_s: int = 3000):
+def _tpu_lock(max_wait_s: int = 2400):
     """Bounded-wait exclusive lock; proceeds anyway after max_wait_s
-    (the bench must always emit its line, even if a sweep run hangs).
-    The bound exceeds a sweep step's 2700 s timeout so a legitimately
-    held lock is always outwaited, never raced."""
+    (the bench must always emit its line, even if a sweep run hangs)."""
     import fcntl
     f = open(_TPU_LOCK, "w")
-    deadline = time.monotonic() + max_wait_s
+    deadline = time.monotonic() + min(max_wait_s, max(_remaining() - 300, 60))
     got = False
     while time.monotonic() < deadline:
         try:
@@ -81,12 +96,8 @@ def _probe_devices(timeout_s: int = 120, retries: int = None,
     """Device init probed in a SUBPROCESS: a wedged axon tunnel makes
     jax.devices() hang forever inside native code (uninterruptible by
     signals), so probe out-of-process and pin this process to CPU on
-    failure — the bench must always emit its JSON line.
-
-    A wedged tunnel is sometimes restored by the sandbox infra within
-    minutes, and a CPU-fallback point is worthless to the tracked
-    series, so retry a few times (bounded: ~3x(120+90)s ~= 10 min worst
-    case) before giving up. SDT_BENCH_PROBE_RETRIES overrides."""
+    failure — the bench must always emit its JSON line."""
+    import jax
     if retries is None:
         retries = int(os.environ.get("SDT_BENCH_PROBE_RETRIES", "3"))
     for attempt in range(max(retries, 1)):
@@ -113,18 +124,31 @@ def _probe_devices(timeout_s: int = 120, retries: int = None,
 
 def _bench_ssod_tpu():
     """Flagship SSOD recipe step on the chip (shared harness — the same
-    setup+timing path as `train_step_bench.py --ssod`)."""
+    setup+timing path as `train_step_bench.py --ssod`).
+
+    Child-process knobs (set by the supervisor's degrading ladder):
+    SDT_BENCH_UNROLL, SDT_BENCH_TILED, SDT_BENCH_ITERS, plus
+    SDT_PACKED_GATHER consumed inside the Pallas kernel module."""
     from semi_detr_tpu.train.bench import build_ssod_step, timed_steps
 
+    unroll = int(os.environ.get("SDT_BENCH_UNROLL", "6"))
+    tiled = os.environ.get("SDT_BENCH_TILED", "1") == "1"
+    iters = int(os.environ.get("SDT_BENCH_ITERS", "5"))
+    packed = os.environ.get("SDT_PACKED_GATHER", "1") == "1"
+    degraded = not (unroll == 6 and tiled and packed and iters >= 5)
+    knobs = (f" [degraded: unroll={unroll} tiled={int(tiled)} "
+             f"packed={int(packed)} iters={iters}]" if degraded else "")
+
     n_sup, n_unsup, h, w = 1, 4, 800, 1344
-    step, state, batch, rng = build_ssod_step(n_sup, n_unsup, h, w)
-    med, _, _, _ = timed_steps(step, state, batch, rng, iters=5)
+    step, state, batch, rng = build_ssod_step(
+        n_sup, n_unsup, h, w, scan_unroll=unroll, tiled_tokens=tiled)
+    med, _, state, _ = timed_steps(step, state, batch, rng, iters=iters)
     ips = (n_sup + n_unsup) / med
-    return {
+    out = {
         "metric": "train_images_per_sec_chip",
         "value": round(ips, 3),
         "unit": f"img/s/chip (SSOD recipe step 1sup+4unsup, tpu, {h}x{w}, "
-                "warm-up stage, bf16+remat)",
+                f"warm-up stage, bf16+remat){knobs}",
         "vs_baseline": round(ips / A100_REF_IMG_PER_SEC, 3),
         # sensitivity range of the estimated A100 denominator (2.0-3.3
         # img/s): [conservative vs 3.3, optimistic vs 2.0]
@@ -132,9 +156,30 @@ def _bench_ssod_tpu():
                               round(ips / A100_REF_BOUNDS[0], 3)],
     }
 
+    # best-effort sibling metric: the post-warm-up stage program (the
+    # 120k recipe spends its second half there; round-4 verdict #4).
+    # Separate program -> separate compile; skip when the budget or an
+    # env opt-out says so. Failure here never loses the main number.
+    if os.environ.get("SDT_BENCH_POST_WARMUP", "1") == "1":
+        try:
+            del step, state, batch
+            step2, state2, batch2, rng2 = build_ssod_step(
+                n_sup, n_unsup, h, w, warm_up=False,
+                scan_unroll=unroll, tiled_tokens=tiled)
+            med2, _, _, _ = timed_steps(step2, state2, batch2, rng2,
+                                        iters=iters)
+            out["post_warmup_value"] = round((n_sup + n_unsup) / med2, 3)
+            out["post_warmup_unit"] = "img/s/chip (post-warm-up stage)"
+        except Exception as e:  # noqa: BLE001
+            out["post_warmup_value"] = None
+            out["post_warmup_unit"] = f"FAILED: {type(e).__name__}"
+    return out
+
 
 def _bench_supervised_cpu():
     """CPU fallback: tiny supervised step so the bench always completes."""
+    import jax
+    import jax.numpy as jnp
     import numpy as np
 
     from semi_detr_tpu.models.dino_head import DinoConfig, DINODetector
@@ -193,32 +238,53 @@ def main():
     print(json.dumps(out))
 
 
+# the degrading ladder: each attempt is (env overrides, label). A fresh
+# child process per attempt = a fresh TPU client after a worker crash.
+_LADDER = [
+    ({}, "landed defaults"),
+    ({"SDT_PACKED_GATHER": "0", "SDT_BENCH_UNROLL": "1",
+      "SDT_BENCH_TILED": "0"}, "safe kernel knobs"),
+    ({"SDT_PACKED_GATHER": "0", "SDT_BENCH_UNROLL": "1",
+      "SDT_BENCH_TILED": "0", "SDT_BENCH_ITERS": "3",
+      "SDT_BENCH_POST_WARMUP": "0"}, "safe knobs, short"),
+]
+
+
 def _supervise():
-    """Crash-resilient wrapper: the axon TPU worker intermittently dies
-    mid-run ('TPU worker process crashed or restarted', 3x on
-    2026-08-19), which kills the whole in-process bench. Run the real
-    bench as a child and retry up to 3 times — a fresh process gets a
-    fresh TPU client; the persistent compilation cache makes retries
-    cheap. The child's LAST stdout line is the tracked JSON line."""
-    env = dict(os.environ, SDT_BENCH_CHILD="1")
+    """Crash-resilient wrapper (see module docstring): degrade through
+    _LADDER inside the wall budget; always print a JSON line."""
     last_line = None
-    for attempt in range(3):
-        r = subprocess.run([sys.executable, os.path.abspath(__file__)],
-                           env=env, capture_output=True, text=True)
+    for i, (overrides, label) in enumerate(_LADDER):
+        child_budget = _remaining() - 120   # keep slack to print
+        if child_budget < 300:
+            print(f"bench: budget exhausted before attempt {i + 1}",
+                  file=sys.stderr)
+            break
+        env = dict(os.environ, SDT_BENCH_CHILD="1", **overrides)
+        print(f"bench: attempt {i + 1}/{len(_LADDER)} ({label}), "
+              f"budget {child_budget:.0f}s", file=sys.stderr)
+        try:
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)], env=env,
+                capture_output=True, text=True, timeout=child_budget)
+        except subprocess.TimeoutExpired:
+            print(f"bench: attempt {i + 1} timed out", file=sys.stderr)
+            continue
         lines = [ln for ln in r.stdout.splitlines() if ln.strip()]
         if r.returncode == 0 and lines:
             print(lines[-1])
             return
         last_line = lines[-1] if lines else None
-        print(f"bench: child attempt {attempt + 1}/3 failed "
+        print(f"bench: attempt {i + 1} ({label}) failed "
               f"(rc={r.returncode})", file=sys.stderr)
         sys.stderr.write(r.stderr[-2000:] + "\n")
-        time.sleep(60)
+        if _remaining() > 360:
+            time.sleep(30)
     # all attempts failed: emit an explicit failure record (never an
     # inherited stale number)
     print(json.dumps({
         "metric": "train_images_per_sec_chip", "value": None,
-        "unit": "FAILED: TPU worker crashed on all 3 bench attempts",
+        "unit": "FAILED: no bench attempt completed (see stderr)",
         "vs_baseline": None, "partial_stdout": last_line}))
 
 

@@ -25,7 +25,10 @@ ssod = dict(
 
 semi_wrapper = dict(type="SsodTrainer")
 
-schedule = dict(_delete_=True, total_steps=120000, lr_boundaries=[110000],
+# Reference `base_dino_detr_ssod_coco.py:250` sets
+# lr_config = dict(step=[120000, 160000]) — NEITHER boundary fires
+# inside the 120k run, so the recipe trains at constant LR.
+schedule = dict(_delete_=True, total_steps=120000, lr_boundaries=[],
                 samples_per_batch=5, sample_ratio=[1, 4])
 
 data = dict(

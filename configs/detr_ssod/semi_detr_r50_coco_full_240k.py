@@ -7,7 +7,10 @@ _base_ = ["semi_detr_r50_coco_120k.py"]
 
 ssod = dict(unsup_weight=2.0, warm_up_step=120000)
 
-schedule = dict(_delete_=True, total_steps=240000, lr_boundaries=[220000],
+# Reference `base_dino_detr_ssod_coco_full.py:250`:
+# lr_config = dict(step=[120000, 160000]) — both fire inside 240k.
+schedule = dict(_delete_=True, total_steps=240000,
+                lr_boundaries=[120000, 160000],
                 samples_per_batch=8, sample_ratio=[1, 1])
 
 data = dict(

@@ -9,7 +9,10 @@ model = dict(num_classes=20)
 
 ssod = dict(warm_up_step=40000)
 
-schedule = dict(_delete_=True, total_steps=80000, lr_boundaries=[72000],
+# Reference `base_dino_detr_ssod_voc.py:250` keeps
+# lr_config = dict(step=[120000, 160000]) — no boundary fires inside
+# the 80k run, so VOC trains at constant LR.
+schedule = dict(_delete_=True, total_steps=80000, lr_boundaries=[],
                 samples_per_batch=5, sample_ratio=[1, 4])
 
 data = dict(

@@ -13,10 +13,17 @@ torchvision `roi_align` semantics). That is a dynamic shape, so here it
 is realized as a static `max_taps`-wide tap grid with per-RoI masking:
 taps beyond the adaptive count carry zero weight and the divisor is the
 true (unclipped-within-budget) count. Exact vs mmcv whenever the
-adaptive count <= max_taps; with SingleRoIExtractor level routing the
-count never exceeds ~3 on any level for images up to ~1792px at stride
-64, so max_taps=4 is exact for the whole Semi-DETR recipe. Degenerate
-(zero-extent) RoIs produce 0 with divisor 1, as in mmcv.
+adaptive count <= max_taps. The adaptive count is PER AXIS
+(ceil(axis_extent_in_cells / out_size)) while SingleRoIExtractor
+routes by sqrt(area), so for near-square RoIs the routed level keeps
+the count <= ~3 and max_taps=4 is exact; a high-aspect-ratio RoI can
+exceed the cap on its long axis (e.g. a 1333x20 px box routes to
+stride 16 and would want ceil(83/7)=12 taps there). Such RoIs fall
+back to a uniform 4-tap-per-bin average over the same bin — a
+coarser quadrature of the identical integrand, not a different
+quantity; raise `max_taps` (cost grows ~t^2) if exactness for
+elongated pseudo-boxes ever matters. Degenerate (zero-extent) RoIs
+produce 0 with divisor 1, as in mmcv.
 
 Level assignment follows mmdet SingleRoIExtractor.map_roi_levels:
 lvl = clamp(floor(log2(sqrt(area)/finest_scale + 1e-6)), 0, L-1),

@@ -15,7 +15,7 @@ import time
 def build_ssod_step(n_sup: int = 1, n_unsup: int = 4, h: int = 800,
                     w: int = 1344, *, warm_up: bool = True,
                     remat: bool = True, donate: bool = False,
-                    scan_unroll: int = 1):
+                    scan_unroll: int = 1, tiled_tokens: bool = True):
     """Build the flagship SSOD step at recipe scale.
 
     Returns (step, state, batch, rng). `step(state, batch, rng)` is the
@@ -33,7 +33,8 @@ def build_ssod_step(n_sup: int = 1, n_unsup: int = 4, h: int = 800,
     from .ssod import init_ssod_state, make_ssod_train_step
 
     cfg = SsodConfig(dino=DinoConfig(dtype=jnp.bfloat16, remat=remat,
-                                     scan_unroll=scan_unroll))
+                                     scan_unroll=scan_unroll,
+                                     tiled_tokens=tiled_tokens))
     detector = DINODetector(cfg.dino)
     projector = Projector(cfg.dino.d_model)
     rng = jax.random.PRNGKey(0)

@@ -31,7 +31,8 @@ from ..models.inference import evaluate_teacher_and_student
 from ..models.ssod import Projector, SsodConfig
 from ..parallel import fsdp_sharding, make_mesh, shard_batch, tp_sharding
 from ..utils.logging import (MetricsLogger, device_memory_summary,
-                             log_image_with_boxes, weight_summary)
+                             get_logger, log_image_with_boxes,
+                             weight_summary)
 from . import optim
 from .checkpoint import CheckpointManager
 from .ssod import init_ssod_state, make_ssod_train_step
@@ -165,7 +166,7 @@ class SsodTrainer:
     def __init__(self, cfg: SsodConfig, sup_dataset, unsup_dataset,
                  val_dataset=None, work_dir: str = "work_dir",
                  total_steps: int = 120000,
-                 lr: float = 1e-4, lr_boundaries=(110000,),
+                 lr: float = 1e-4, lr_boundaries=(),
                  samples_per_batch: int = 5, sample_ratio=(1, 4),
                  eval_interval: int = 4000, ckpt_interval: int = 4000,
                  bucket=(800, 1344), scales=None, seed: int = 0,
@@ -184,6 +185,16 @@ class SsodTrainer:
         # so XLA compiles one program per composition (<= batch-1 of
         # them, cached after the first occurrence of each).
         self.by_prob = by_prob
+        if by_prob and cfg.cls_avg_groups:
+            # _grouped_cls_weights falls back to the global sync-semantics
+            # factor whenever the drawn composition isn't divisible by the
+            # group size — under by_prob that flips semantics step to step
+            get_logger().warning(
+                "cls_avg_groups with by_prob=True: per-GPU cls "
+                "normalization silently degrades to the global factor on "
+                "steps whose drawn sup/unsup composition is not divisible "
+                "by the group size; prefer exact-ratio mixing "
+                "(by_prob=False) when cls_avg_groups is set")
         self.donate = donate
         self.work_dir = work_dir
         # throttled pseudo-label render interval, 0 = off (reference

@@ -36,6 +36,9 @@ def main():
                         "(1 sup + 4 unsup, two views, warm-up stage)")
     p.add_argument("--post-warmup", action="store_true",
                    help="with --ssod: the post-warm-up stage program")
+    p.add_argument("--no-tiled-tokens", action="store_true",
+                   help="with --ssod: disable the tile-order token "
+                        "stream (fault-bisection / r3-equivalence knob)")
     p.add_argument("--infer", action="store_true",
                    help="serving/eval throughput: forward + top-300 "
                         "decode (models/inference.make_predict_fn) at "
@@ -158,7 +161,8 @@ def ssod_bench(args):
     step, state, batch, rng = build_ssod_step(
         n_sup, n_unsup, h, w, warm_up=warm_up,
         remat=not args.no_remat, donate=args.donate,
-        scan_unroll=args.unroll)
+        scan_unroll=args.unroll,
+        tiled_tokens=not args.no_tiled_tokens)
     print(f"init: {time.time() - t0:.1f}s")
 
     med, _, _, compile_s = timed_steps(step, state, batch, rng,
