@@ -15,7 +15,8 @@ import time
 def build_ssod_step(n_sup: int = 1, n_unsup: int = 4, h: int = 800,
                     w: int = 1344, *, warm_up: bool = True,
                     remat: bool = True, donate: bool = False,
-                    scan_unroll: int = 1, tiled_tokens: bool = True):
+                    scan_unroll: int = 1, tiled_tokens: bool = True,
+                    uint8_inputs: bool = False):
     """Build the flagship SSOD step at recipe scale.
 
     Returns (step, state, batch, rng). `step(state, batch, rng)` is the
@@ -38,9 +39,17 @@ def build_ssod_step(n_sup: int = 1, n_unsup: int = 4, h: int = 800,
     detector = DINODetector(cfg.dino)
     projector = Projector(cfg.dino.d_model)
     rng = jax.random.PRNGKey(0)
-    batch = jax.tree.map(jnp.asarray,
-                         synthetic_ssod_batch(n_sup, n_unsup, h, w,
-                                              cfg.dino.max_gt))
+    raw = synthetic_ssod_batch(n_sup, n_unsup, h, w, cfg.dino.max_gt)
+    if uint8_inputs:
+        # mirror the real trainer's raw-uint8 transfer + device-side
+        # normalization (data/pipeline.py pack + dino_head.prepare_images)
+        import numpy as np
+        for k in ("sup", "unsup"):
+            for kk in list(raw[k]):
+                if kk.endswith("images"):
+                    raw[k][kk] = np.clip(raw[k][kk] * 40 + 120, 0,
+                                         255).astype(np.uint8)
+    batch = jax.tree.map(jnp.asarray, raw)
     # init with a placeholder optimizer, then swap in the real one: the
     # real AdamW is built from labeled param groups, which need the
     # initialized params first

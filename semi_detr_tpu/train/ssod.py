@@ -16,11 +16,19 @@ Loss naming mirrors the reference (`sup_`/`unsup_` prefixes,
 """
 from __future__ import annotations
 
+import os
 from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp
 import optax
+
+# fault-bisection kill switches (both default ON — the landed round-4
+# behavior). They exist to isolate the BENCH_r04 TPU-worker fault by
+# toggling the two default-on step changes that landed after the last
+# good on-chip measurement; see tools/benchmarks/queue_r5_bisect.sh.
+_FUSED_ENCODE = os.environ.get("SDT_FUSED_ENCODE", "1") != "0"
+_FAKE_CONS_ROI = os.environ.get("SDT_FAKE_CONS_ROI", "1") != "0"
 
 from ..models.criterion import detection_loss
 from ..models.dino_head import DINODetector
@@ -113,9 +121,13 @@ def _unsup_forward_and_loss(detector: DINODetector, projector: Projector,
     if warm_up:
         # empty-image fake center RoI (see inject_fake_consistency_roi)
         b, p = pl.valid.shape
-        keep_known, boxes_t, boxes_s = inject_fake_consistency_roi(
-            keep_cons, pl.boxes_t, pl.boxes_s,
-            un["teacher_hw"], un["student_hw"])
+        if _FAKE_CONS_ROI:
+            keep_known, boxes_t, boxes_s = inject_fake_consistency_roi(
+                keep_cons, pl.boxes_t, pl.boxes_s,
+                un["teacher_hw"], un["student_hw"])
+        else:           # bisection knob: pre-round-4 behavior
+            keep_known, boxes_t, boxes_s = (keep_cons, pl.boxes_t,
+                                            pl.boxes_s)
 
         # consistency content: RoIAlign teacher srcs at TEACHER-frame boxes
         # -> Projector (trainable); reference :563-607
@@ -263,7 +275,8 @@ def make_ssod_train_step(detector: DINODetector, projector: Projector,
             sup_imgs, sup_hw = batch["sup"]["images"], batch["sup"]["img_hw"]
             un = batch["unsup"]
             enc_sup = enc_unsup = None
-            if sup_imgs.shape[1:] == un["student_images"].shape[1:]:
+            if (_FUSED_ENCODE
+                    and sup_imgs.shape[1:] == un["student_images"].shape[1:]):
                 # fuse the (small, often 1-image) supervised encode into
                 # the unlabeled strong-view encode: ONE backbone+encoder
                 # pass over Bs+Bu images. Mathematically exact — every

@@ -1,15 +1,24 @@
 #!/bin/bash
-# Round-5 P0: root-cause the BENCH_r04 TPU-worker kernel fault.
-# BENCH_r04.json died 3/3 inside timed_steps at the landed r4 defaults
-# (tiled_tokens=True, SDT_PACKED_GATHER=1, scan_unroll=6). This queue:
-#   1-2. reproduce attempt: landed defaults, 10 timed steps, twice
-#   3.   soak: landed defaults, 100 timed steps (flake-exoneration bar)
-#   4-6. knock one suspect off at a time (packed gathers / unroll / tiles)
-#   7.   r3-equivalent control (all three off)
-# Every leg is its own child process (fresh TPU client), bounded, logged.
+# Round-5 P0 v2: root-cause the BENCH_r04 TPU-worker kernel fault.
+# Facts so far: the exact command `train_step_bench.py --ssod` succeeded
+# at 3.44 img/s (sweep_r4_unroll2), then crashed 3/3 in BENCH_r04 and
+# again in leg 1 of this queue (4/4 since) — always at the FIRST step's
+# host sync. Two default-ON step changes landed between the last success
+# and the first crash: the fused sup+unsup encode (5797249) and the
+# empty-image fake center RoI (3690f12); the real TRAINER (uint8 input
+# path) survived a 300-step rehearsal with both. Ladder:
+#   1. fused encode OFF
+#   2. fake RoI OFF
+#   3. both OFF (pre-change control)
+#   4. uint8 inputs (the surviving trainer's input path, all defaults on)
+#   5. kernel knobs: packed gathers off / unroll 1 / untiled (in case
+#      the fault is kernel-state dependent after all)
+#   8. whichever ran clean -> 100-step soak at landed defaults if 1-5
+#      all crash is impossible (something ran clean), so the soak leg
+#      uses defaults and doubles as the flake test if leg order matters.
 set -u
 cd "$(dirname "$0")/../.."
-LOG=${1:-/tmp/queue_r5_bisect.log}
+LOG=${1:-/tmp/queue_r5_bisect2.log}
 export JAX_COMPILATION_CACHE_DIR=/tmp/jax_cache_tpu
 export JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS=1
 TPULOCK=/tmp/sdt_tpu.lock
@@ -26,7 +35,7 @@ waitup() {
   local tries=0
   until probe; do
     tries=$((tries + 1))
-    echo "[r5bisect] probe $tries failed at $(date)" | tee -a "$LOG"
+    echo "[r5bisect2] probe $tries failed at $(date)" | tee -a "$LOG"
     [ "$tries" -ge 18 ] && return 1
     sleep 600
   done
@@ -44,16 +53,16 @@ run() {
 
 B="python tools/benchmarks/train_step_bench.py --ssod"
 
-# 1-2. reproduce at landed defaults (the exact bench.py configuration)
-run $B --steps 10
-run $B --steps 10
-# 3. soak at landed defaults (the "default that can fault the chip"
-#    acceptance bar: 100 consecutive steps clean)
-run $B --steps 100
-# 4-6. one suspect off at a time
-run env SDT_PACKED_GATHER=0 $B --steps 10
-run $B --steps 10 --unroll 1
-run $B --steps 10 --no-tiled-tokens
-# 7. r3-equivalent control
-run env SDT_PACKED_GATHER=0 $B --steps 10 --unroll 1 --no-tiled-tokens
-echo "[r5bisect] done at $(date)" | tee -a "$LOG"
+# 1-3. the two post-measurement default-on changes
+run env SDT_FUSED_ENCODE=0 $B --steps 5
+run env SDT_FAKE_CONS_ROI=0 $B --steps 5
+run env SDT_FUSED_ENCODE=0 SDT_FAKE_CONS_ROI=0 $B --steps 5
+# 4. the trainer's input path (survived the 300-step rehearsal)
+run $B --steps 5 --uint8-inputs
+# 5-7. kernel knobs
+run env SDT_PACKED_GATHER=0 $B --steps 5
+run $B --steps 5 --unroll 1
+run $B --steps 5 --no-tiled-tokens
+# 8. landed defaults again (flake check after other programs ran)
+run $B --steps 5
+echo "[r5bisect2] done at $(date)" | tee -a "$LOG"

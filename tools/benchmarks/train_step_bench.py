@@ -39,6 +39,9 @@ def main():
     p.add_argument("--no-tiled-tokens", action="store_true",
                    help="with --ssod: disable the tile-order token "
                         "stream (fault-bisection / r3-equivalence knob)")
+    p.add_argument("--uint8-inputs", action="store_true",
+                   help="with --ssod: feed raw-uint8 images + device "
+                        "normalize, the real trainer's input path")
     p.add_argument("--infer", action="store_true",
                    help="serving/eval throughput: forward + top-300 "
                         "decode (models/inference.make_predict_fn) at "
@@ -162,7 +165,8 @@ def ssod_bench(args):
         n_sup, n_unsup, h, w, warm_up=warm_up,
         remat=not args.no_remat, donate=args.donate,
         scan_unroll=args.unroll,
-        tiled_tokens=not args.no_tiled_tokens)
+        tiled_tokens=not args.no_tiled_tokens,
+        uint8_inputs=args.uint8_inputs)
     print(f"init: {time.time() - t0:.1f}s")
 
     med, _, _, compile_s = timed_steps(step, state, batch, rng,
