@@ -16,7 +16,8 @@ def write_synthetic_coco(root: str, n: int = 8,
                          hw: Tuple[int, int] = (96, 128), seed: int = 0,
                          class_name: str = "person",
                          splits: Dict[str, Sequence[int]] = None,
-                         n_classes: int = 1, max_boxes: int = 1):
+                         n_classes: int = 1, max_boxes: int = 1,
+                         distractors: int = 0):
     """Write images + annotation json(s) under `root`.
 
     splits: {name: image indices (0-based)} -> writes `<name>.json` per
@@ -28,6 +29,14 @@ def write_synthetic_coco(root: str, n: int = 8,
     rectangles (occluded regions are still annotated by their full box,
     like real COCO amodal-ish boxes); with n_classes > 1 each class has
     a distinct fill color so the classification task is learnable.
+
+    distractors > 0: each image additionally gets 0..distractors
+    UNANNOTATED clutter elements — ellipses and thin bars in
+    palette-adjacent (jittered) colors, plus per-box color jitter and
+    speckle on the annotated rectangles. This keeps the task learnable
+    while denying the teacher a wall of max-confidence detections, so a
+    rehearsal's pseudo_per_img reflects a COCO-like distribution
+    instead of pinning at the max_pseudo cap (round-4 verdict #5).
     """
     import cv2
     import numpy as np
@@ -49,6 +58,26 @@ def write_synthetic_coco(root: str, n: int = 8,
     aid = 0
     for i in range(1, n + 1):
         img = (rs.rand(h, w, 3) * 40).astype(np.uint8)
+        if distractors:
+            for _ in range(int(rs.randint(0, distractors + 1))):
+                col = np.clip(np.asarray(
+                    palette[int(rs.randint(0, len(palette)))], np.int32)
+                    + rs.randint(-90, 90, 3), 0, 255).tolist()
+                cx, cy = int(rs.uniform(0, w)), int(rs.uniform(0, h))
+                if rs.rand() < 0.5:     # ellipse blob
+                    ax = (int(rs.uniform(0.03 * w, 0.12 * w)),
+                          int(rs.uniform(0.03 * h, 0.12 * h)))
+                    cv2.ellipse(img, (cx, cy), ax,
+                                float(rs.uniform(0, 180)), 0, 360,
+                                col, -1)
+                else:                   # thin bar
+                    bw_ = int(rs.uniform(0.15 * w, 0.4 * w))
+                    bh_ = max(int(rs.uniform(0.01 * h, 0.04 * h)), 1)
+                    if rs.rand() < 0.5:
+                        bw_, bh_ = bh_, bw_
+                    x0 = max(min(cx, w - bw_), 0)
+                    y0 = max(min(cy, h - bh_), 0)
+                    img[y0:y0 + bh_, x0:x0 + bw_] = col
         k = 1 if max_boxes <= 1 else int(rs.randint(1, max_boxes + 1))
         for _ in range(k):
             bw = int(rs.uniform(0.22 * w, 0.36 * w))
@@ -58,7 +87,17 @@ def write_synthetic_coco(root: str, n: int = 8,
             # no RNG draw when single-class: keeps the default fixtures'
             # random stream (and thus pixels) byte-identical to before
             cls = 0 if n_classes == 1 else int(rs.randint(0, n_classes))
-            img[y:y + bh, x:x + bw] = palette[cls % len(palette)]
+            fill = np.asarray(palette[cls % len(palette)], np.int32)
+            if distractors:
+                # jitter + speckle: same class color signal, less
+                # saturating teacher confidence
+                fill = np.clip(fill + rs.randint(-35, 35, 3), 0, 255)
+                patch = np.clip(
+                    fill[None, None] + rs.randint(-25, 25, (bh, bw, 3)),
+                    0, 255).astype(np.uint8)
+                img[y:y + bh, x:x + bw] = patch
+            else:
+                img[y:y + bh, x:x + bw] = fill.tolist()
             aid += 1
             anns.append({"id": aid, "image_id": i, "category_id": cls + 1,
                          "bbox": [x, y, bw, bh], "area": bw * bh,

@@ -45,9 +45,12 @@ def build_dataset(root: str, n_imgs: int):
     }
     # landscape COCO-ish aspect; the recipe's resize scales upsample to
     # the 800x1344 bucket exactly as with real data
+    # distractor clutter + color jitter: without it the teacher overfits
+    # the flat-color rectangles to max confidence and pseudo_per_img
+    # pins at the max_pseudo cap, overstating stage-2 load vs real data
     paths, img_dir = write_synthetic_coco(
         root, n=n_imgs, hw=(480, 640), seed=0, splits=splits,
-        n_classes=5, max_boxes=6)
+        n_classes=5, max_boxes=6, distractors=8)
     return paths, img_dir
 
 
