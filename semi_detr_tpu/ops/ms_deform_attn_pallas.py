@@ -308,18 +308,24 @@ def _fwd_kernel(locx_ref, locy_ref, attn_ref, value_ref, out_ref, *,
             wnd = tstart + (rmin + r) * ntc + (cmin + k - r * ncol)
             tile = value_ref[0, 0, wnd]                       # (dg, BQ)
             if fwd_mxu:
-                c_dt = jnp.bfloat16 if fwd_mxu == 2 else jnp.float32
-                C = jnp.zeros((_BQ, _BQ), c_dt)         # (token, query)
+                # C is ALWAYS accumulated in f32: a bf16 select on the
+                # broadcast-compare mask makes Mosaic relayout an i1
+                # vector between (8,128) and (16,128) tilings, which it
+                # rejects ("Invalid relayout", r4 queue log). Mode 2
+                # rounds the finished C to bf16 ONCE before the dot —
+                # same numerics class, one cast per window.
+                C = jnp.zeros((_BQ, _BQ), jnp.float32)  # (token, query)
                 for ci in range(4):
-                    m_all = jnp.where(wins[ci] == wnd, wgts[ci],
-                                      0.0).astype(c_dt)
+                    m_all = jnp.where(wins[ci] == wnd, wgts[ci], 0.0)
                     for p in range(P):
                         onehot = iota_tok == jnp.broadcast_to(
                             lanes[ci][p:p + 1], (_BQ, _BQ))
                         C = C + jnp.where(
                             onehot,
                             jnp.broadcast_to(m_all[p:p + 1], (_BQ, _BQ)),
-                            c_dt(0))
+                            0.0)
+                if fwd_mxu == 2:
+                    C = C.astype(jnp.bfloat16)
                 return acc + jax.lax.dot_general(
                     tile, C, (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,

@@ -303,3 +303,30 @@ def test_tiled_value_only_decoder_matches_oracle():
                                 interpret=True, value_tiled=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("mode", [1, 2])
+def test_fwd_mxu_modes_match_oracle(mode, monkeypatch):
+    """SDT_FWD_MXU one-hot-MXU accumulate: mode 1 (f32 slab + HIGHEST
+    matmul) must match the oracle tightly; mode 2 (bf16 slab + bf16 C,
+    one native MXU pass) at bf16 tolerance. C is accumulated in f32 in
+    BOTH modes (a bf16 select trips a Mosaic i1-relayout error on chip,
+    r4 queue log) and rounded once before the dot in mode 2."""
+    import semi_detr_tpu.ops.ms_deform_attn_pallas as mod
+
+    monkeypatch.setattr(mod, "_FWD_MXU", mode)
+    rs = np.random.RandomState(5 + mode)
+    v, loc, aw = _inputs(rs, d=8, lq=40)
+    if mode == 2:
+        vb = v.astype(jnp.bfloat16)
+        ref = ms_deform_attn(vb.astype(jnp.float32), SHAPES, loc, aw)
+        got = mod.ms_deform_attn_pallas(vb, SHAPES, loc, aw,
+                                        interpret=True)
+        np.testing.assert_allclose(np.asarray(got, np.float32),
+                                   np.asarray(ref), rtol=3e-2, atol=3e-2)
+    else:
+        ref = ms_deform_attn(v, SHAPES, loc, aw)
+        got = mod.ms_deform_attn_pallas(v, SHAPES, loc, aw,
+                                        interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
