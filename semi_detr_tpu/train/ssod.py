@@ -23,11 +23,15 @@ import jax
 import jax.numpy as jnp
 import optax
 
-# fault-bisection kill switches (both default ON — the landed round-4
-# behavior). They exist to isolate the BENCH_r04 TPU-worker fault by
-# toggling the two default-on step changes that landed after the last
-# good on-chip measurement; see tools/benchmarks/queue_r5_bisect.sh.
-_FUSED_ENCODE = os.environ.get("SDT_FUSED_ENCODE", "1") != "0"
+# Fused sup+unsup encode: OFF by default since round 5. The round-5
+# on-chip bisection (ROADMAP "Round 5 — BENCH_r04 kernel-fault root
+# cause") pinned the BENCH_r04 "TPU worker process crashed" fault on
+# this fusion (crash with it on, clean 3.45 img/s with it off, fake-RoI
+# leg exonerated); until the Mosaic/XLA interaction is understood it is
+# opt-in via SDT_FUSED_ENCODE=1.
+_FUSED_ENCODE = os.environ.get("SDT_FUSED_ENCODE", "0") == "1"
+# fault-bisection kill switch (default ON = landed r4 behavior; the
+# bisection exonerated this one)
 _FAKE_CONS_ROI = os.environ.get("SDT_FAKE_CONS_ROI", "1") != "0"
 
 from ..models.criterion import detection_loss
