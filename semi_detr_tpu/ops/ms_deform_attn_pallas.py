@@ -580,7 +580,12 @@ def _bwd_kernel(locx_ref, locy_ref, attn_ref, g_ref, gT_ref, value_ref,
             r = k // ncol
             wnd = tstart + (rmin + r) * ntc + (cmin + k - r * ncol)
             tile = value_ref[0, 0, wnd]                  # (D, BQ)
-            C = jnp.zeros((_BQ, _BQ), c_dt)              # (token, query)
+            # C accumulates in f32 even under c_bf16: a bf16 select on
+            # the broadcast-compare mask trips Mosaic's i1 relayout
+            # ((8,128) vs (16,128) tiling — the r4 "bf16 C accumulator
+            # crash"); rounding once before the matmul is the same
+            # numerics class at one cast per window.
+            C = jnp.zeros((_BQ, _BQ), jnp.float32)       # (token, query)
             for ci in range(4):
                 hit = wins[ci] == wnd                    # (P, BQ)
                 m_all = jnp.where(hit, wgts[ci], 0.0)
@@ -600,9 +605,8 @@ def _bwd_kernel(locx_ref, locy_ref, attn_ref, g_ref, gT_ref, value_ref,
                                                               (_BQ, _BQ))
                         C = C + jnp.where(
                             onehot,
-                            jnp.broadcast_to(
-                                m_all[p:p + 1].astype(c_dt), (_BQ, _BQ)),
-                            c_dt(0))
+                            jnp.broadcast_to(m_all[p:p + 1], (_BQ, _BQ)),
+                            0.0)
                 if not _SKIP_DLOC:
                     dot = jnp.where(hit, jnp.concatenate(dots, 0), 0.0)
                     da_l = da_l + bws[ci] * dot
@@ -612,7 +616,8 @@ def _bwd_kernel(locx_ref, locy_ref, attn_ref, g_ref, gT_ref, value_ref,
                 # HIGHEST: grad_value must match the f32 scatter-add; the
                 # MXU's default bf16 passes would round C and g.
                 delta = jax.lax.dot_general(
-                    C, gT, dimension_numbers=(((1,), (0,)), ((), ())),
+                    C.astype(c_dt), gT,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                     precision=(jax.lax.Precision.DEFAULT if c_bf16
                                else _BWD_MM_PRECISION))
