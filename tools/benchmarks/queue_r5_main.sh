@@ -61,4 +61,12 @@ run timeout 2700 python bench.py
 run $B --steps 100
 # 7. attribution trace at final defaults
 run $B --steps 3 --profile /tmp/ssod_trace_r5
+# 8-10. fused-fault shape diagnosis: is the trigger simply an odd
+# encoder batch (N=5)? supervised bs5 isolates the encoder at N=5
+# without any SSOD machinery; fused SSOD at 1+5 unsup runs the fused
+# encode at N=6. If bs5 crashes and N=6 fused is clean, the fix is
+# padding the fused batch to even N.
+run python tools/benchmarks/train_step_bench.py --batch 5 --steps 3
+run env SDT_FUSED_ENCODE=1 $B --batch 5 --steps 3
+run env SDT_FUSED_ENCODE=1 $B --batch 3 --steps 3
 echo "[r5main] done at $(date)" | tee -a "$LOG"
