@@ -98,3 +98,82 @@ def pair_l1_cost(pred_cxcywh, gt_cxcywh):
 
 def giou_cost(pred_xyxy, gt_xyxy):
     return -box_ops.pairwise_giou(pred_xyxy, gt_xyxy)
+
+
+# ---------------------------------------------------------------------------
+# Registered-but-unused reference losses, ported for API completeness.
+# No live Semi-DETR config selects these (SURVEY.md §7 marks them dead on
+# the reference's active path); they are available for custom configs and
+# are torch-parity tested in tests/test_losses_registered.py.
+# ---------------------------------------------------------------------------
+
+def softmax_focal_loss(logits, labels, gamma: float = 1.5,
+                       class_weight=None, reduction: str = "sum"):
+    """Multi-class focal loss over softmax CE
+    (`detr_od/models/losses/softmax_focal_loss.py:9-76`):
+    loss = (1 - exp(-CE))**gamma * CE, CE = cross_entropy(logits, labels).
+
+    logits (N, K) f32; labels (N,) int. reduction: none|sum|mean."""
+    logp = jax.nn.log_softmax(logits, -1)
+    ce = -jnp.take_along_axis(logp, labels[:, None], 1)[:, 0]
+    if class_weight is not None:
+        ce = ce * jnp.asarray(class_weight)[labels]
+    loss = (1.0 - jnp.exp(-ce)) ** gamma * ce
+    if reduction == "none":
+        return loss
+    if reduction == "mean":
+        return loss.mean()
+    return loss.sum()
+
+
+def binary_kl_div_loss(logits, target, binary: bool = False,
+                       eps: float = 1e-12):
+    """Per-box (un-reduced) KL/JS divergence between sigmoid scores and a
+    soft target (`detr_od/models/losses/binary_kl_div_loss.py:14-82`).
+
+    binary=False: sum_k target_k * (log target_k - log(sigmoid(logit)_k))
+    (torch F.kl_div semantics; target log term contributes 0 where
+    target==0). binary=True: symmetric JS over the per-class Bernoulli
+    {p, 1-p}. Returns (N,)."""
+    p = jax.nn.sigmoid(logits)
+
+    def _kl(log_q, t):
+        # t * (log t - log_q), with 0 log 0 = 0
+        return jnp.where(t > 0, t * (jnp.log(jnp.maximum(t, eps)) - log_q),
+                         0.0)
+
+    if not binary:
+        return _kl(jnp.log(p + eps), target).sum(-1)
+    pb = jnp.stack([p, 1.0 - p], -1)                # (N, K, 2)
+    tb = jnp.stack([target, 1.0 - target], -1)
+    m = 0.5 * (pb + tb)
+    loss = _kl(jnp.log(pb + eps), m) + _kl(jnp.log(tb + eps), m)
+    return 0.5 * loss.sum(-1).sum(-1)
+
+
+def focal_kl_loss(logits, target, gamma: float = 0.5,
+                  weight=None, avg_factor=None):
+    """Focal-modulated symmetric binary KL
+    (`detr_od/models/losses/soft_label_focal_loss.py:27-105`, use_sigmoid):
+    KL(target||sigmoid) + KL(1-target||1-sigmoid), per class, scaled by
+    ((target - sigmoid)^2 + 1e-6)**(gamma/2); mean-reduced (optionally by
+    avg_factor) with optional per-box weight."""
+    logp = jax.nn.log_sigmoid(logits)
+    logn = -logits + logp                            # log(1 - sigmoid)
+    eps = 1e-12
+
+    def _kl(log_q, t):
+        # torch F.kl_div(log_q, t) = t*(log t - log_q), xlogy semantics
+        # (0 log 0 = 0)
+        return jnp.where(t > 0, t * (jnp.log(jnp.maximum(t, eps)) - log_q),
+                         0.0)
+
+    loss = _kl(logp, target) + _kl(logn, 1.0 - target)
+    p = jax.nn.sigmoid(logits)
+    focal = ((target - p) ** 2 + 1e-6) ** (0.5 * gamma)
+    loss = focal * loss
+    if weight is not None:
+        loss = loss * weight.reshape(-1, 1)
+    if avg_factor is not None:
+        return loss.sum() / avg_factor
+    return loss.mean()
