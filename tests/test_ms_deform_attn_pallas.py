@@ -330,3 +330,27 @@ def test_fwd_mxu_modes_match_oracle(mode, monkeypatch):
                                         interpret=True)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    rtol=1e-5, atol=1e-5)
+
+
+def test_bwd_c_bf16_matches_oracle_vjp():
+    """SDT_BWD_C_BF16 path (one native MXU pass for the dv scatter): C
+    accumulates in f32 and is rounded once before the matmul (the bf16
+    select variant trips Mosaic's i1 relayout on chip, r4 A/B table).
+    dv at bf16 tolerance; dloc/dattn are C-independent and stay tight."""
+    from semi_detr_tpu.ops.ms_deform_attn import ms_deform_attn
+    from semi_detr_tpu.ops.ms_deform_attn_pallas import \
+        ms_deform_attn_bwd_pallas
+    rs = np.random.RandomState(7)
+    v, loc, aw = _inputs(rs, d=8, lq=16)
+    g = jnp.asarray(rs.randn(1, 16, 2 * 8).astype(np.float32))
+    _, vjp = jax.vjp(lambda v, l, a: ms_deform_attn(v, SHAPES, l, a),
+                     v, loc, aw)
+    dv_ref, dl_ref, da_ref = vjp(g)
+    dv, dl, da = ms_deform_attn_bwd_pallas(v, SHAPES, loc, aw, g,
+                                           interpret=True, c_bf16=True)
+    np.testing.assert_allclose(np.asarray(dv), np.asarray(dv_ref),
+                               rtol=2e-2, atol=2e-2)
+    np.testing.assert_allclose(np.asarray(dl), np.asarray(dl_ref),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(da), np.asarray(da_ref),
+                               rtol=1e-4, atol=1e-5)
