@@ -229,12 +229,17 @@ def _bench_supervised_cpu():
 
 
 def main():
-    with _tpu_lock():
-        platform = _probe_devices()
-        if platform == "tpu":
-            out = _bench_ssod_tpu()
-        else:
-            out = _bench_supervised_cpu()
+    if os.environ.get("JAX_PLATFORMS", "") == "cpu":
+        # explicit CPU run: never touch the chip OR the TPU lock (a CPU
+        # bench holding the lock starves cooperating TPU queues)
+        out = _bench_supervised_cpu()
+    else:
+        with _tpu_lock():
+            platform = _probe_devices()
+            if platform == "tpu":
+                out = _bench_ssod_tpu()
+            else:
+                out = _bench_supervised_cpu()
     print(json.dumps(out))
 
 
