@@ -283,7 +283,16 @@ def _supervise():
         print(f"bench: attempt {i + 1} ({label}) failed "
               f"(rc={r.returncode})", file=sys.stderr)
         sys.stderr.write(r.stderr[-2000:] + "\n")
-        if _remaining() > 360:
+        if "TPU worker process crashed" in r.stderr:
+            # the axon worker can take many minutes to restart after a
+            # kernel fault (75 min observed 2026-08-19); retrying
+            # immediately makes the probe pin CPU and records a
+            # meaningless CPU number. Wait as long as the budget allows.
+            wait = min(900.0, max(_remaining() - 900, 0))
+            print(f"bench: worker crash detected, waiting {wait:.0f}s "
+                  "for restart", file=sys.stderr)
+            time.sleep(wait)
+        elif _remaining() > 360:
             time.sleep(30)
     # all attempts failed: emit an explicit failure record (never an
     # inherited stale number)
