@@ -134,8 +134,8 @@ def _bench_ssod_tpu():
     unroll = int(os.environ.get("SDT_BENCH_UNROLL", "6"))
     tiled = os.environ.get("SDT_BENCH_TILED", "1") == "1"
     iters = int(os.environ.get("SDT_BENCH_ITERS", "5"))
-    packed = os.environ.get("SDT_PACKED_GATHER", "1") == "1"
-    degraded = not (unroll == 6 and tiled and packed and iters >= 5)
+    packed = os.environ.get("SDT_PACKED_GATHER", "0") == "1"
+    degraded = not (unroll == 6 and tiled and not packed and iters >= 5)
     knobs = (f" [degraded: unroll={unroll} tiled={int(tiled)} "
              f"packed={int(packed)} iters={iters}]" if degraded else "")
 

@@ -63,16 +63,17 @@ _SKIP_DLOC = os.environ.get("SDT_BWD_SKIP_DLOC") == "1"   # no da/dloc dots
 _SKIP_DV = os.environ.get("SDT_BWD_SKIP_DV") == "1"       # no C/matmul/dv
 _FWD_NO_GATHER = os.environ.get("SDT_FWD_NO_GATHER") == "1"
 
-# Packed-bf16 gathers (DEFAULT ON for bf16 values): two bf16 channels
-# ride each 32-bit lane, halving gather vreg traffic in both the forward
-# accumulate and the backward dot phase — the measured hot spot of both
-# passes (r4 A/B, encoder scale N=2: fwd 51.0 -> 38.7 ms; ablations show
-# the bwd is equally gather-bound). EXACT for bf16 value tensors (the
-# flagship config): bf16 -> f32 widening is lossless, and the dv scatter
-# matmul never touches the packed lanes. f32 values keep the unpacked
-# path (packing would round them). SDT_PACKED_GATHER=0 is the kill
-# switch for A/Bs.
-_PACKED_GATHER = os.environ.get("SDT_PACKED_GATHER", "1") == "1"
+# Packed-bf16 gathers (DEFAULT OFF since round 5): two bf16 channels
+# ride each 32-bit lane, halving gather vreg traffic — wins the ISOLATED
+# kernel microbench (r4 A/B, encoder scale N=2: fwd 51.0 -> 38.7 ms) but
+# LOSES at whole-step level under the tile-order streams (r5 step A/B:
+# packed 1450-1453 ms/step x3 runs vs unpacked 1387 ms = +4.5% img/s
+# unpacked): the per-layer slab-packing pass ((odd<<16)|even over the
+# value stream) plus the bwd unpack ops cost more than the gather
+# savings. EXACT either way for bf16 values. SDT_PACKED_GATHER=1
+# re-enables (e.g. for VMEM-limited variants where the half-size slab
+# matters more than the packing pass).
+_PACKED_GATHER = os.environ.get("SDT_PACKED_GATHER", "0") == "1"
 
 # Forward one-hot-MXU accumulate (EXPERIMENT, default off): replace the
 # 16 per-window lane gathers (the measured fwd hot spot: gathers are
