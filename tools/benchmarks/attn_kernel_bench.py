@@ -145,10 +145,11 @@ def main():
         print(f"unsorted fwd: {t * 1e3:8.2f} ms")
 
         def srt_bwd(v, l, a, ct):
-            _, vjp = jax.vjp(
+            out, vjp = jax.vjp(
                 lambda vv, ll, aa: ms_deform_attn_sorted(vv, shapes, ll,
                                                          aa), v, l, a)
-            return vjp(ct)
+            # bf16 values make the op output bf16 -> match the cotangent
+            return vjp(ct.astype(out.dtype))
         t = timeit(jax.jit(srt_bwd), args.iters, value, loc, attn, g)
         print(f"sorted bwd  : {t * 1e3:8.2f} ms (full vjp incl. permute)")
         if not args.skip_xla:
