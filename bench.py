@@ -69,8 +69,16 @@ def _remaining():
 @contextlib.contextmanager
 def _tpu_lock(max_wait_s: int = 2400):
     """Bounded-wait exclusive lock; proceeds anyway after max_wait_s
-    (the bench must always emit its line, even if a sweep run hangs)."""
+    (the bench must always emit its line, even if a sweep run hangs).
+
+    SDT_TPU_LOCK_HELD=1 skips the lock entirely: a queue wrapper that
+    already holds the flock around `python bench.py` would otherwise
+    self-deadlock for the whole wait window (this is exactly how the
+    r5 main-queue bench attempt burned its 2700 s and died rc=124)."""
     import fcntl
+    if os.environ.get("SDT_TPU_LOCK_HELD") == "1":
+        yield
+        return
     f = open(_TPU_LOCK, "w")
     deadline = time.monotonic() + min(max_wait_s, max(_remaining() - 300, 60))
     got = False
@@ -247,9 +255,9 @@ def main():
 # child process per attempt = a fresh TPU client after a worker crash.
 _LADDER = [
     ({}, "landed defaults"),
-    ({"SDT_PACKED_GATHER": "0", "SDT_BENCH_UNROLL": "1",
+    ({"SDT_PACKED_GATHER": "0", "SDT_FWD_MXU": "0", "SDT_BENCH_UNROLL": "1",
       "SDT_BENCH_TILED": "0"}, "safe kernel knobs"),
-    ({"SDT_PACKED_GATHER": "0", "SDT_BENCH_UNROLL": "1",
+    ({"SDT_PACKED_GATHER": "0", "SDT_FWD_MXU": "0", "SDT_BENCH_UNROLL": "1",
       "SDT_BENCH_TILED": "0", "SDT_BENCH_ITERS": "3",
       "SDT_BENCH_POST_WARMUP": "0"}, "safe knobs, short"),
 ]
