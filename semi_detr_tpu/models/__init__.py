@@ -1,4 +1,6 @@
+from .attention import LegacyMultiheadAttention
 from .dino_head import DinoConfig, DINODetector
 from .ssod import Projector, SsodConfig
 
-__all__ = ["DinoConfig", "DINODetector", "Projector", "SsodConfig"]
+__all__ = ["DinoConfig", "DINODetector", "LegacyMultiheadAttention",
+           "Projector", "SsodConfig"]
